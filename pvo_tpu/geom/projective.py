@@ -1,0 +1,171 @@
+"""Pinhole projective geometry with analytic Jacobians, pure JAX.
+
+TPU-native rebuild of the reference's projective ops
+(VO_Module/droid_slam/geom/projective_ops.py): inverse projection,
+SE3 point action, projection, and the composite ``projective_transform``
+that maps pixels of frame ii into frame jj, optionally returning the
+(Ji, Jj, Jz) Jacobian blocks consumed by dense bundle adjustment.
+
+Conventions (identical to the reference so BA numerics match):
+  * poses are world->camera (w2c) SE3 7-vectors ``[t, q]``
+  * depth state is inverse depth ("disparity") at 1/8 resolution
+  * homogeneous points are ``[X, Y, 1, d]`` with d = inverse depth
+  * tangent layout ``[rho(3), phi(3)]``; Jj is the Jacobian w.r.t. a
+    left-multiplied increment on pose jj, Ji = -Adj(Gij)^T-transported
+    (reference projective_ops.py:120-127)
+
+Shapes: batched as (B, N, H, W, ...) where N = number of edges.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pvo_tpu.lie import se3
+
+MIN_DEPTH = 0.2
+
+
+def coords_grid(ht, wd, dtype=jnp.float32):
+    """Pixel coordinate grid, (ht, wd, 2) ordered [x, y]."""
+    y, x = jnp.meshgrid(jnp.arange(ht, dtype=dtype),
+                        jnp.arange(wd, dtype=dtype), indexing="ij")
+    return jnp.stack([x, y], axis=-1)
+
+
+def iproj(disps, intrinsics):
+    """Inverse projection: (B,N,H,W) disps + (B,N,4) intrinsics ->
+    homogeneous points (B,N,H,W,4) = [X, Y, 1, d]."""
+    ht, wd = disps.shape[-2:]
+    fx, fy, cx, cy = jnp.split(intrinsics[..., None, None, :], 4, axis=-1)
+    fx, fy = fx[..., 0], fy[..., 0]
+    cx, cy = cx[..., 0], cy[..., 0]
+
+    y, x = jnp.meshgrid(jnp.arange(ht, dtype=disps.dtype),
+                        jnp.arange(wd, dtype=disps.dtype), indexing="ij")
+    X = (x - cx) / fx
+    Y = (y - cy) / fy
+    ones = jnp.ones_like(disps)
+    return jnp.stack([X, Y, ones, disps], axis=-1)
+
+
+def proj(Xs, intrinsics, jacobian=False, return_depth=False):
+    """Pinhole projection of homogeneous points.
+
+    Returns coords (B,N,H,W,2) (or 3 with inverse depth if return_depth)
+    and, if jacobian, the 2x4 (or 3x4) projection Jacobian d(coords)/dX.
+    """
+    fx, fy, cx, cy = jnp.split(intrinsics[..., None, None, :], 4, axis=-1)
+    fx, fy = fx[..., 0], fy[..., 0]
+    cx, cy = cx[..., 0], cy[..., 0]
+    X, Y, Z, D = (Xs[..., 0], Xs[..., 1], Xs[..., 2], Xs[..., 3])
+
+    Z = jnp.where(Z < 0.5 * MIN_DEPTH, jnp.ones_like(Z), Z)
+    d = 1.0 / Z
+
+    x = fx * (X * d) + cx
+    y = fy * (Y * d) + cy
+    if return_depth:
+        coords = jnp.stack([x, y, D * d], axis=-1)
+    else:
+        coords = jnp.stack([x, y], axis=-1)
+
+    if not jacobian:
+        return coords, None
+
+    o = jnp.zeros_like(d)
+    Jp = jnp.stack([
+        fx * d, o, -fx * X * d * d, o,
+        o, fy * d, -fy * Y * d * d, o,
+    ], axis=-1).reshape(coords.shape[:-1] + (2, 4))
+    return coords, Jp
+
+
+def act_se3(Gij, X0, jacobian=False):
+    """Apply relative SE3 (B,N,7) to homogeneous points (B,N,H,W,4).
+
+    If jacobian, also return Ja (B,N,H,W,4,6): the derivative of the
+    transformed point w.r.t. a left-increment on Gij (i.e. on pose jj).
+    """
+    X1 = se3.act4(Gij[:, :, None, None], X0)
+
+    if not jacobian:
+        return X1, None
+
+    X, Y, Z, d = (X1[..., 0], X1[..., 1], X1[..., 2], X1[..., 3])
+    o = jnp.zeros_like(d)
+    Ja = jnp.stack([
+        d, o, o, o, Z, -Y,
+        o, d, o, -Z, o, X,
+        o, o, d, Y, -X, o,
+        o, o, o, o, o, o,
+    ], axis=-1).reshape(X1.shape[:-1] + (4, 6))
+    return X1, Ja
+
+
+def projective_transform(poses, disps, intrinsics, ii, jj,
+                         jacobian=False, return_depth=False,
+                         valid_neg=0.0):
+    """Map pixels of frames ``ii`` into frames ``jj``.
+
+    Args:
+      poses: (B, P, 7) w2c SE3.
+      disps: (B, P, H, W) inverse depth.
+      intrinsics: (B, P, 4) [fx, fy, cx, cy] at the operating resolution.
+      ii, jj: (N,) int frame indices per edge.
+    Returns:
+      coords (B,N,H,W,2 or 3), valid (B,N,H,W,1), and if jacobian the
+      tuple (Ji, Jj, Jz) with shapes (B,N,H,W,2,6), (B,N,H,W,2,6),
+      (B,N,H,W,2,1).
+    """
+    X0 = iproj(disps[:, ii], intrinsics[:, ii])
+
+    Gij = se3.mul(poses[:, jj], se3.inv(poses[:, ii]))
+    X1, Ja = act_se3(Gij, X0, jacobian=jacobian)
+
+    x1, Jp = proj(X1, intrinsics[:, jj], jacobian=jacobian,
+                  return_depth=return_depth)
+
+    valid = ((X1[..., 2] > MIN_DEPTH) & (X0[..., 2] > MIN_DEPTH))
+    valid = valid.astype(x1.dtype)[..., None]
+
+    if not jacobian:
+        return x1, valid
+
+    Jj = jnp.matmul(Jp, Ja)                      # (B,N,H,W,2,6)
+    Adj = se3.adj_matrix(Gij)[:, :, None, None]  # (B,N,1,1,6,6)
+    Ji = -jnp.matmul(Jj, Adj)                    # rows transported by AdjT
+
+    # dX1/d(disp) = Gij acting on the unit inverse-depth direction:
+    # act4 of [0,0,0,1] = [t_ij, 1]
+    tij = Gij[..., :3]
+    Jz_dir = jnp.concatenate(
+        [tij, jnp.ones_like(tij[..., :1])], axis=-1)[:, :, None, None]
+    Jz = jnp.matmul(Jp, jnp.broadcast_to(
+        Jz_dir[..., None], Jp.shape[:-2] + (4, 1)))
+
+    return x1, valid, (Ji, Jj, Jz)
+
+
+def induced_flow(poses, disps, intrinsics, ii, jj):
+    """Optical flow induced by camera motion (reference
+    projective_ops.py:166-178)."""
+    ht, wd = disps.shape[-2:]
+    coords0 = coords_grid(ht, wd, dtype=disps.dtype)
+    coords1, valid = projective_transform(poses, disps, intrinsics, ii, jj)
+    return coords1[..., :2] - coords0, valid
+
+
+def coords_clamp(coords, h_max, w_max, h_min=0.0, w_min=0.0):
+    x = jnp.clip(coords[..., 0], w_min, w_max)
+    y = jnp.clip(coords[..., 1], h_min, h_max)
+    return jnp.stack([x, y], axis=-1)
+
+
+def coords_valid(coords, h_max, w_max, h_min=0.0, w_min=0.0, neg_fac=0.1):
+    """In-bounds indicator with a soft negative weight outside
+    (reference projective_ops.py:187-193)."""
+    inb = ((coords[..., 0] < w_max) & (coords[..., 0] >= w_min) &
+           (coords[..., 1] < h_max) & (coords[..., 1] >= h_min))
+    val = jnp.where(inb, 1.0, neg_fac).astype(coords.dtype)
+    return val[..., None]

@@ -1,0 +1,172 @@
+"""DroidNet: recurrent dense-VO network with differentiable BA, flax.
+
+Rebuild of the reference DroidNet (VO_Module/droid_slam/droid_net.py:
+317-440): fnet/cnet encoders, the DynamicUpdateModule, and the iterative
+forward used for TRAINING — each step does corr lookup -> GRU -> heads ->
+dynamic-mask gating -> 2 differentiable BA steps -> reprojection, and
+collects per-step poses/disps/residuals/flows/masks for the loss.
+
+TPU design:
+  * frames and edges are flat leading dims, channels-last;
+  * the frame graph (ii, jj) is static per compile (host-built), so BA
+    scatters are static segment-sums;
+  * per-step tensors are detached (stop_gradient) at step start exactly
+    like the reference (droid_net.py:375-381), so backprop depth per step
+    is constant;
+  * the correlation pyramid is materialized once per forward with one
+    batched MXU matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pvo_tpu.geom import projective
+from pvo_tpu.geom.ba import bundle_adjust
+from pvo_tpu.geom.upsample import cvx_upsample, upsample_inter
+
+from . import corr as corr_ops
+from .extractor import BasicEncoder
+from .update import MASK_NUM, DynamicUpdateModule, GraphAgg
+
+# ImageNet statistics used to normalize RGB inputs (values in [0,1]).
+RGB_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+RGB_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+DY_THRESH = 0.5
+
+
+def normalize_images(images_u8_rgb):
+    """uint8 RGB (..., H, W, 3) -> normalized float (..., H, W, 3).
+
+    The reference stores BGR uint8 and flips to RGB at the model boundary
+    (droid_net.py:329); we take RGB directly and normalize identically.
+    """
+    x = images_u8_rgb.astype(jnp.float32) / 255.0
+    return (x - RGB_MEAN) / RGB_STD
+
+
+class DroidNet(nn.Module):
+    use_aff_bri: bool = False
+
+    def setup(self):
+        self.fnet = BasicEncoder(output_dim=128, norm_fn="instance")
+        self.cnet = BasicEncoder(output_dim=256, norm_fn="none")
+        self.update = DynamicUpdateModule(self.use_aff_bri)
+        self.agg = GraphAgg()
+
+    def extract_features(self, images):
+        """images: (B, F, H, W, 3) uint8 RGB. Returns fmaps, net, inp
+        at 1/8 resolution, each (B, F, h, w, 128)."""
+        x = normalize_images(images)
+        fmaps = self.fnet(x)
+        ctx = self.cnet(x)
+        net, inp = jnp.split(ctx, 2, axis=-1)
+        return fmaps, jnp.tanh(net), nn.relu(inp)
+
+    def __call__(self, poses, images, disps, intrinsics, ii, jj,
+                 num_steps=12, fixedp=2, ret_flow=False,
+                 downsample=False):
+        """Training forward.
+
+        Args:
+          poses: (B, F, 7) initial w2c SE3.
+          images: (B, F, H, W, 3) uint8 RGB.
+          disps: (B, F, h, w) initial inverse depth (1/8 res).
+          intrinsics: (B, F, 4) at 1/8 resolution.
+          ii, jj: static numpy edge lists.
+        Returns dict of per-step lists: poses, disps_up, residuals,
+        masks_up, and (if ret_flow) flows.
+        """
+        ii = np.asarray(ii).reshape(-1)
+        jj = np.asarray(jj).reshape(-1)
+        B, F = images.shape[:2]
+        assert B == 1, "training forward is per-sample; vmap over batch"
+
+        fmaps, net_all, inp_all = self.extract_features(images)
+        h, w = fmaps.shape[2:4]
+
+        net = net_all[0, ii]
+        inp = inp_all[0, ii]
+        pyramid = corr_ops.build_pyramid(fmaps[0, ii], fmaps[0, jj])
+
+        coords0 = projective.coords_grid(h, w)
+        coords1, _ = projective.projective_transform(
+            poses, disps, intrinsics, ii, jj)
+        target_cam = coords1
+        delta_dy = jnp.zeros_like(coords1)
+        raw_mask = jnp.zeros(coords1.shape[:-1] + (MASK_NUM,),
+                             coords1.dtype)
+
+        num_frames = int(F)
+        seg_ids = jnp.asarray(ii, jnp.int32)
+
+        out: Dict[str, Any] = {k: [] for k in
+                               ("poses", "disps_up", "residuals",
+                                "masks_up", "flows", "aff_params")}
+
+        for _ in range(num_steps):
+            poses = jax.lax.stop_gradient(poses)
+            disps = jax.lax.stop_gradient(disps)
+            coords1 = jax.lax.stop_gradient(coords1)
+            target_cam = jax.lax.stop_gradient(target_cam)
+            delta_dy = jax.lax.stop_gradient(delta_dy)
+            raw_mask = jax.lax.stop_gradient(raw_mask)
+
+            corr = corr_ops.lookup(pyramid, coords1[0])
+
+            cam_flow = coords1 - coords0
+            resd = target_cam - coords1
+            motion = jnp.concatenate(
+                [cam_flow, cam_flow + delta_dy, resd, raw_mask], axis=-1)
+            motion = jnp.clip(motion, -64.0, 64.0)
+
+            upd = self.update(net, inp, corr, motion[0])
+            net = upd["net"]
+
+            raw_mask = raw_mask + upd["delta_mask"][None]
+            mask = nn.sigmoid(raw_mask)
+            bin_mask = (mask >= DY_THRESH).astype(mask.dtype)
+
+            target_cam = coords1 + upd["delta"][None]
+            weight = nn.sigmoid(upd["weight_logits"][None] +
+                                (1 - bin_mask) * 10.0)
+
+            eta, upmask = self.agg(net, seg_ids, num_frames)
+            kx = np.unique(ii)
+            eta_k = eta[kx, ..., 0][None]  # (1, M, h, w)
+
+            for _ in range(2):
+                poses, disps = bundle_adjust(
+                    target_cam, weight, eta_k, poses, disps, intrinsics,
+                    ii, jj, fixedp=fixedp)
+
+            coords1, valid = projective.projective_transform(
+                poses, disps, intrinsics, ii, jj)
+            residual = (target_cam - coords1) * valid
+
+            delta_dy = upd["delta_dy"][None] * (1 - bin_mask)
+            target_all = coords1 + delta_dy
+
+            out["poses"].append(poses)
+            out["disps_up"].append(
+                cvx_upsample(disps[0, kx, :, :, None],
+                             upmask[kx])[None, ..., 0])
+            out["residuals"].append(residual)
+            out["masks_up"].append(upsample_inter(mask))
+            if ret_flow:
+                if downsample:
+                    out["flows"].append(target_all - coords0)
+                else:
+                    out["flows"].append(
+                        upsample_inter((target_all - coords0) * 8.0))
+            if self.use_aff_bri:
+                out["aff_params"].append(upd["aff_params"][None])
+
+        return out

@@ -1,0 +1,17 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip sharding tests use jax.sharding.Mesh over these virtual devices;
+real-TPU benchmarking happens in bench.py, not in tests.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
