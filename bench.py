@@ -1,0 +1,73 @@
+"""Benchmark: VO frame throughput per chip (vkitti2 eval geometry).
+
+Runs the full VO tracking loop (motion filter -> frontend: recurrent
+update + fused DBA) on a synthetic stream at the vkitti2 eval resolution
+(240x808, the test_vo.py protocol) and reports steady-state frames/sec
+on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: the reference publishes no speed numbers (BASELINE.md);
+we normalize against a 10 fps envelope typical of DROID-SLAM-class CUDA
+systems on the 11GB-GPU setup the reference documents (README.md:64),
+so vs_baseline = fps / 10.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def synth_stream(n, H, W, seed=0):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 255, (H + 64, W + 64, 3), np.uint8)
+    intr = np.array([725.0087 * W / 1242, 725.0087 * W / 1242,
+                     W / 2.0, H / 2.0], np.float32)
+    for t in range(n):
+        dy, dx = (2 * t) % 64, (3 * t) % 64
+        img = base[dy:dy + H, dx:dx + W]
+        segm = np.zeros((H // 8, W // 8), np.int32)
+        yield t, img, intr, segm
+
+
+def main():
+    from pvo_tpu.utils.config import VOConfig
+    from pvo_tpu.vo.system import VOSystem
+
+    H, W = 240, 808
+    n_warm, n_meas = 18, 30
+
+    cfg = VOConfig(image_size=(H, W), buffer=128,
+                   filter_thresh=0.01,      # admit every frame: worst case
+                   keyframe_thresh=0.0,     # keep all keyframes
+                   warmup=12, segm_filter=True)
+    sysm = VOSystem(cfg)
+
+    frames = list(synth_stream(n_warm + n_meas, H, W))
+
+    # warmup: triggers initialization + all jit compilations
+    for (t, img, intr, segm) in frames[:n_warm]:
+        sysm.track(t, img, intr, segments=segm)
+
+    import jax
+    jax.block_until_ready(sysm.video.poses)
+
+    t0 = time.perf_counter()
+    for (t, img, intr, segm) in frames[n_warm:]:
+        sysm.track(t, img, intr, segments=segm)
+    jax.block_until_ready(sysm.video.poses)
+    dt = time.perf_counter() - t0
+
+    fps = n_meas / dt
+    print(json.dumps({
+        "metric": "vo_track_frames_per_sec",
+        "value": round(fps, 3),
+        "unit": "frames/s/chip @240x808 keyframe-everything",
+        "vs_baseline": round(fps / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

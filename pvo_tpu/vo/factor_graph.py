@@ -1,0 +1,494 @@
+"""Factor graph over keyframes: edge store + recurrent update + DBA.
+
+Rebuild of the reference FactorGraph (VO_Module/droid_slam/
+factor_graph.py) around TPU constraints:
+
+  * graph TOPOLOGY (edge lists, ages, inactive/bad stores) lives on the
+    host as numpy arrays — O(edges) integer work, exactly the part the
+    reference also did on CPU;
+  * per-edge STATE (flow targets, confidences, dynamic-mask logits,
+    hidden GRU states) lives in padded device buffers of static shape,
+    so the jitted update kernel compiles once per bucket size;
+  * correlation is computed transiently per update from the feature
+    buffer (chunked MXU matmul + windowed gather) — the TPU answer to
+    the reference's choice between a cached volume ("volume") and an
+    on-the-fly CUDA kernel ("alt"): recompute on the MXU, never cache
+    multi-GB volumes in HBM;
+  * the dynamic-segment filter (reference factor_graph.py:256-276, a
+    numpy host round-trip) is an on-device segment-sum vote over local
+    segment ids.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pvo_tpu.geom import projective
+from pvo_tpu.vo import dba as dba_mod
+from pvo_tpu.vo.net import corr as corr_ops
+
+DY_THRESH = 0.5
+MASK_NUM = 2
+
+
+def _bucket(n, buckets):
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"size {n} exceeds largest bucket {buckets[-1]}")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("update_apply", "agg_apply", "K", "S_MAX",
+                     "segm_filter", "corr_chunk"))
+def _update_kernel(params, poses, disps, intrinsics, fmaps, inps, segms,
+                   net, target_cam, raw_mask, delta_dy,
+                   ii, jj, valid, w0, seg_thresh,
+                   update_apply, agg_apply, K, S_MAX, segm_filter,
+                   corr_chunk=16):
+    """One recurrent update over all (padded) edges.
+
+    Returns new (net, target_cam, weight, raw_mask, delta_dy, full_flow,
+    eta (K,h,w), frame_has_edge (K,)).
+    """
+    E = ii.shape[0]
+    h, w = disps.shape[-2:]
+    vm = valid[:, None, None, None].astype(jnp.float32)
+    p_update, p_agg = params["update"], params["agg"]
+
+    coords0 = projective.coords_grid(h, w)
+    intr_b = jnp.broadcast_to(intrinsics, (1, poses.shape[0], 4))
+    coords1, _ = projective.projective_transform(
+        poses[None], disps[None], intr_b, ii, jj)
+    coords1 = coords1[0]
+
+    # motion features (reference factor_graph.py:232-237)
+    motn = jnp.concatenate([
+        target_cam - coords0,
+        target_cam - coords0 + delta_dy,
+        target_cam - coords1,
+        raw_mask,
+    ], axis=-1)
+    motn = jnp.clip(motn, -64.0, 64.0)
+
+    corr = corr_ops.chunked_corr_lookup(
+        fmaps, ii, jj, coords1, chunk=corr_chunk)
+
+    inp = inps[ii].astype(jnp.float32)
+    out = update_apply(p_update, net.astype(jnp.float32), inp,
+                       corr.astype(jnp.float32), motn)
+    new_net = out["net"]
+
+    raw_mask = raw_mask + out["delta_mask"]
+    bin_mask = (jax.nn.sigmoid(raw_mask) >= DY_THRESH)
+
+    if segm_filter:
+        # on-device dynamic-segment vote (replaces the reference's
+        # numpy unique/count loop): a segment whose dynamic-pixel
+        # fraction exceeds seg_thresh is forced fully dynamic.
+        segm_e = segms[ii]                                  # (E,h,w)
+        dyn = (~bin_mask[..., 0]) | (~bin_mask[..., 1])
+        key = (jnp.arange(E, dtype=jnp.int32)[:, None, None] * S_MAX +
+               segm_e)
+        key = jnp.where(valid[:, None, None], key, E * S_MAX)
+        flat = key.reshape(-1)
+        tot = jax.ops.segment_sum(jnp.ones_like(flat, jnp.float32),
+                                  flat, num_segments=E * S_MAX + 1)
+        dyn_cnt = jax.ops.segment_sum(
+            dyn.reshape(-1).astype(jnp.float32), flat,
+            num_segments=E * S_MAX + 1)
+        ratio = dyn_cnt / jnp.maximum(tot, 1.0)
+        killed = (ratio > seg_thresh)                       # (E*S+1,)
+        killed = killed.at[jnp.arange(E) * S_MAX].set(False)  # seg id 0
+        kill_pix = killed[key]                              # (E,h,w)
+        keep = ~kill_pix
+        bin_mask = bin_mask & keep[..., None]
+
+    bin_mask = bin_mask.astype(jnp.float32)
+    new_target = coords1 + out["delta"]
+    new_weight = jax.nn.sigmoid(out["weight_logits"] +
+                                (1.0 - bin_mask) * 10.0) * vm
+    new_delta_dy = out["delta_dy"] * (1.0 - bin_mask)
+    full_flow = coords1 + new_delta_dy - coords0
+
+    # per-frame damping from graph aggregation
+    m = jnp.where(valid, ii - w0, K).astype(jnp.int32)
+    eta, _ = agg_apply(p_agg, new_net, m, K)
+    counts = jax.ops.segment_sum(valid.astype(jnp.int32), m,
+                                 num_segments=K + 1)[:K]
+
+    return (new_net, new_target, new_weight, raw_mask, new_delta_dy,
+            full_flow, eta[..., 0], counts > 0)
+
+
+class FactorGraph:
+    def __init__(self, video, update_module, agg_module, params,
+                 max_edges=96, max_inactive=96, corr_chunk=16,
+                 edge_buckets=None,
+                 pose_buckets=(32, 64, 128, 256, 512),
+                 pair_buckets=(512, 2048, 8192, 32768, 131072)):
+        self.video = video
+        self.params = params
+        self.max_edges = max_edges
+        self.max_inactive = max_inactive
+        self.corr_chunk = corr_chunk
+        if edge_buckets is None:
+            edge_buckets = tuple(sorted({32, 64, max_edges}))
+        self.edge_buckets = tuple(b for b in edge_buckets
+                                  if b <= max_edges)
+        self.pose_buckets = pose_buckets
+        self.pair_buckets = pair_buckets
+
+        self.update_apply = update_module.apply
+        self.agg_apply = agg_module.apply
+
+        h, w = video.h, video.w
+        self.h, self.w = h, w
+
+        # host topology
+        self.ii = np.zeros(0, np.int64)
+        self.jj = np.zeros(0, np.int64)
+        self.age = np.zeros(0, np.int64)
+        self.ii_inac = np.zeros(0, np.int64)
+        self.jj_inac = np.zeros(0, np.int64)
+        self.ii_bad = np.zeros(0, np.int64)
+        self.jj_bad = np.zeros(0, np.int64)
+
+        # device edge state (padded)
+        E = max_edges
+        self.net = jnp.zeros((E, h, w, 128), jnp.float32)
+        self.target_cam = jnp.zeros((E, h, w, 2), jnp.float32)
+        self.weight = jnp.zeros((E, h, w, 2), jnp.float32)
+        self.raw_mask = jnp.zeros((E, h, w, MASK_NUM), jnp.float32)
+        self.delta_dy = jnp.zeros((E, h, w, 2), jnp.float32)
+        self.full_flow = jnp.zeros((E, h, w, 2), jnp.float32)
+
+        MI = max_inactive
+        self.target_inac = jnp.zeros((MI, h, w, 2), jnp.float32)
+        self.weight_inac = jnp.zeros((MI, h, w, 2), jnp.float32)
+
+    # ---------------- host topology ops ----------------
+
+    @property
+    def n_edges(self):
+        return len(self.ii)
+
+    def _existing(self):
+        return set(zip(self.ii.tolist(), self.jj.tolist())) | \
+            set(zip(self.ii_inac.tolist(), self.jj_inac.tolist()))
+
+    def add_factors(self, ii, jj, remove=False):
+        ii = np.asarray(ii, np.int64).reshape(-1)
+        jj = np.asarray(jj, np.int64).reshape(-1)
+        eset = self._existing()
+        keep = [k for k in range(len(ii))
+                if (ii[k], jj[k]) not in eset]
+        ii, jj = ii[keep], jj[keep]
+        if len(ii) == 0:
+            return
+
+        # enforce capacity: evict oldest (store as inactive)
+        overflow = self.n_edges + len(ii) - self.max_edges
+        if overflow > 0:
+            if not remove:
+                raise RuntimeError(
+                    f"factor graph overflow ({self.n_edges}+{len(ii)} > "
+                    f"{self.max_edges}) and remove=False")
+            order = np.argsort(-self.age)  # oldest first
+            drop = np.zeros(self.n_edges, bool)
+            drop[order[:overflow]] = True
+            self.rm_factors(drop, store=True)
+
+        n0 = self.n_edges
+        sl = slice(n0, n0 + len(ii))
+
+        target, _ = self.video.reproject(ii, jj)
+        self.target_cam = self.target_cam.at[sl].set(target[0])
+        self.weight = self.weight.at[sl].set(0.0)
+        self.raw_mask = self.raw_mask.at[sl].set(0.0)
+        self.delta_dy = self.delta_dy.at[sl].set(0.0)
+        self.full_flow = self.full_flow.at[sl].set(0.0)
+        self.net = self.net.at[sl].set(
+            self.video.nets[jnp.asarray(ii)].astype(jnp.float32))
+
+        self.ii = np.concatenate([self.ii, ii])
+        self.jj = np.concatenate([self.jj, jj])
+        self.age = np.concatenate([self.age, np.zeros(len(ii), np.int64)])
+
+    def rm_factors(self, mask, store=False):
+        mask = np.asarray(mask, bool)
+        if mask.sum() == 0:
+            return
+        if store:
+            drop_idx = np.nonzero(mask)[0]
+            k = len(drop_idx)
+            ni = len(self.ii_inac)
+            if ni + k > self.max_inactive:
+                # evict oldest inactive entries (FIFO)
+                shift = ni + k - self.max_inactive
+                self.ii_inac = self.ii_inac[shift:]
+                self.jj_inac = self.jj_inac[shift:]
+                self.target_inac = jnp.roll(self.target_inac, -shift,
+                                            axis=0)
+                self.weight_inac = jnp.roll(self.weight_inac, -shift,
+                                            axis=0)
+                ni = len(self.ii_inac)
+            sl = slice(ni, ni + k)
+            gi = jnp.asarray(drop_idx)
+            self.target_inac = self.target_inac.at[sl].set(
+                self.target_cam[gi])
+            self.weight_inac = self.weight_inac.at[sl].set(
+                self.weight[gi])
+            self.ii_inac = np.concatenate([self.ii_inac, self.ii[mask]])
+            self.jj_inac = np.concatenate([self.jj_inac, self.jj[mask]])
+
+        keep_idx = np.nonzero(~mask)[0]
+        perm = np.concatenate(
+            [keep_idx, np.arange(len(mask), self.max_edges)])
+        # pad compacted order back to the static buffer size; the tail
+        # rows are beyond n_edges and never read
+        perm = np.concatenate(
+            [perm, np.zeros(self.max_edges - len(perm), np.int64)])
+        gperm = jnp.asarray(perm)
+        for name in ("net", "target_cam", "weight", "raw_mask",
+                     "delta_dy", "full_flow"):
+            setattr(self, name, getattr(self, name)[gperm])
+        self.ii = self.ii[~mask]
+        self.jj = self.jj[~mask]
+        self.age = self.age[~mask]
+
+    def rm_keyframe(self, ix):
+        self.video.remove_frame(ix)
+        m = (self.ii == ix) | (self.jj == ix)
+        self.ii = np.where(self.ii >= ix, self.ii - 1, self.ii)
+        self.jj = np.where(self.jj >= ix, self.jj - 1, self.jj)
+        self.ii_inac = np.where(self.ii_inac >= ix, self.ii_inac - 1,
+                                self.ii_inac)
+        self.jj_inac = np.where(self.jj_inac >= ix, self.jj_inac - 1,
+                                self.jj_inac)
+        self.rm_factors(m, store=False)
+
+    def filter_edges(self):
+        """Drop long-range edges with negligible confidence
+        (reference factor_graph.py:92-99)."""
+        if self.n_edges == 0:
+            return
+        conf = np.asarray(jnp.mean(
+            self.weight[: self.n_edges], axis=(1, 2, 3)))
+        mask = (np.abs(self.ii - self.jj) > 2) & (conf < 0.001)
+        self.ii_bad = np.concatenate([self.ii_bad, self.ii[mask]])
+        self.jj_bad = np.concatenate([self.jj_bad, self.jj[mask]])
+        self.rm_factors(mask, store=False)
+
+    def clear_edges(self):
+        self.rm_factors(np.ones(self.n_edges, bool), store=False)
+
+    # ---------------- graph construction ----------------
+
+    def add_neighborhood_factors(self, t0, t1, r=3):
+        ii, jj = np.meshgrid(np.arange(t0, t1), np.arange(t0, t1),
+                             indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+        keep = (np.abs(ii - jj) > 0) & (np.abs(ii - jj) <= r)
+        self.add_factors(ii[keep], jj[keep])
+
+    def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
+                              thresh=16.0, remove=False,
+                              max_new=None):
+        """Distance-based edge proposal with NMS suppression
+        (reference factor_graph.py:372-429)."""
+        t = self.video.counter
+        ix = np.arange(t0, t)
+        jx = np.arange(t1, t)
+        if len(ix) == 0 or len(jx) == 0:
+            return
+        ii, jj = np.meshgrid(ix, jx, indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+
+        d = np.asarray(self.video.distance(ii, jj, beta=beta),
+                       np.float64).copy()
+        d[ii - rad < jj] = np.inf
+        d[d > 100] = np.inf
+
+        def suppress(i, j):
+            r = max(min(abs(int(i) - int(j)) - 2, nms), 0)
+            for di in range(-nms, nms + 1):
+                for dj in range(-nms, nms + 1):
+                    if abs(di) + abs(dj) <= r:
+                        i1, j1 = int(i) + di, int(j) + dj
+                        if t0 <= i1 < t and t1 <= j1 < t:
+                            d[(i1 - t0) * (t - t1) + (j1 - t1)] = np.inf
+
+        for i, j in zip(np.concatenate([self.ii, self.ii_bad,
+                                        self.ii_inac]),
+                        np.concatenate([self.jj, self.jj_bad,
+                                        self.jj_inac])):
+            if abs(int(i) - int(j)) > 2:
+                suppress(i, j)
+
+        es = []
+        for i in range(t0, t):
+            for j in range(i + 1, min(i + rad + 1, t)):
+                es.append((i, j))
+                es.append((j, i))
+
+        for k in np.argsort(d):
+            if d[k] > thresh:
+                continue
+            if max_new is not None and len(es) >= 2 * max_new:
+                break
+            i, j = int(ii[k]), int(jj[k])
+            es.append((i, j))
+            es.append((j, i))
+            suppress(i, j)
+
+        if es:
+            es = np.asarray(es, np.int64)
+            self.add_factors(es[:, 0], es[:, 1], remove)
+
+    # ---------------- the update ----------------
+
+    def _padded_edges(self, EB=None):
+        n = self.n_edges
+        if EB is None:
+            EB = _bucket(n, self.edge_buckets)
+        ii = np.zeros(EB, np.int32)
+        jj = np.zeros(EB, np.int32)
+        valid = np.zeros(EB, bool)
+        ii[:n] = self.ii
+        jj[:n] = self.jj
+        valid[:n] = True
+        return ii, jj, valid
+
+    def update(self, t0=None, t1=None, itrs=2, use_inactive=False,
+               EP=1e-7, motion_only=False):
+        if self.n_edges == 0:
+            return
+        self._recurrent_step()
+
+        if t0 is None:
+            t0 = max(1, int(self.ii.min()) + 1)
+        if t1 is None:
+            t1 = int(max(self.ii.max(), self.jj.max())) + 1
+
+        self._run_dba(t0, t1, itrs=itrs, use_inactive=use_inactive,
+                      EP=EP, motion_only=motion_only,
+                      lm=1e-4, ep=0.1, damp_fac=0.2)
+        self.age += 1
+
+    def _run_dba(self, t0, t1, itrs, use_inactive, EP, motion_only,
+                 lm, ep, damp_fac):
+        """Assemble (active [+inactive]) edges and run the fused DBA."""
+        v = self.video
+        h, w = self.h, self.w
+
+        n_act = self.n_edges
+        if use_inactive and len(self.ii_inac) > 0:
+            m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+            sel = np.nonzero(m)[0]
+            ii_all = np.concatenate([self.ii_inac[sel], self.ii])
+            jj_all = np.concatenate([self.jj_inac[sel], self.jj])
+            gsel = jnp.asarray(sel)
+            target_list = [self.target_inac[gsel],
+                           self.target_cam[:n_act]]
+            weight_list = [self.weight_inac[gsel], self.weight[:n_act]]
+            buckets = tuple(sorted(set(
+                list(self.edge_buckets) +
+                [self.max_edges + self.max_inactive])))
+        else:
+            ii_all, jj_all = self.ii, self.jj
+            target_list = [self.target_cam[:n_act]]
+            weight_list = [self.weight[:n_act]]
+            buckets = self.edge_buckets
+
+        n = len(ii_all)
+        EB = _bucket(n, buckets)
+        pad = EB - n
+        target_list.append(jnp.zeros((pad, h, w, 2), jnp.float32))
+        weight_list.append(jnp.zeros((pad, h, w, 2), jnp.float32))
+        target_all = jnp.concatenate(target_list, axis=0)
+        weight_all = jnp.concatenate(weight_list, axis=0)
+
+        ii_b = np.zeros(EB, np.int32)
+        jj_b = np.zeros(EB, np.int32)
+        valid_b = np.zeros(EB, bool)
+        ii_b[:n] = ii_all
+        jj_b[:n] = jj_all
+        valid_b[:n] = True
+
+        w0 = int(ii_all.min())
+        K = _bucket(int(ii_all.max()) - w0 + 1, self.pose_buckets)
+        P = _bucket(int(t1 - t0), self.pose_buckets)
+
+        npairs = 0
+        from collections import Counter
+        cnt = Counter(ii_all.tolist())
+        npairs = sum(c * c for c in cnt.values())
+        PAIRS = _bucket(npairs, self.pair_buckets)
+        pa, pb, pv = dba_mod.build_edge_pairs(ii_b, valid_b, PAIRS)
+
+        # damping (eta) for the K depth window (gather, not
+        # dynamic_slice: slices clamp their start index when w0+K
+        # overruns the buffer, which would misalign the m = ii-w0 map)
+        krows = np.clip(w0 + np.arange(K), 0, v.buffer - 1)
+        dwin = v.damping[jnp.asarray(krows)]
+        eta_k = damp_fac * dwin + EP
+
+        poses, disps = dba_mod.dba(
+            v.poses, v.disps, v.intrinsics[0], target_all, weight_all,
+            eta_k, jnp.asarray(ii_b), jnp.asarray(jj_b),
+            jnp.asarray(valid_b), jnp.asarray(pa), jnp.asarray(pb),
+            jnp.asarray(pv), t0, t1, w0, P=P, K=K, iters=itrs,
+            motion_only=motion_only, ep=ep, lm=lm)
+        v.poses, v.disps = poses, disps
+
+    def _recurrent_step(self):
+        """Run the jitted recurrent update (corr -> GRU -> heads ->
+        segment filter) over all active edges and persist the per-frame
+        BA damping produced by GraphAgg."""
+        v = self.video
+        EB = _bucket(self.n_edges, self.edge_buckets)
+        ii_p, jj_p, valid_p = self._padded_edges(EB)
+        w0 = int(self.ii.min())
+        K = _bucket(int(self.ii.max()) - w0 + 1, self.pose_buckets)
+
+        (net, target_cam, weight, raw_mask, delta_dy, full_flow, eta,
+         has_edge) = _update_kernel(
+            self.params, v.poses, v.disps, v.intrinsics[0], v.fmaps,
+            v.inps, v.segms, self.net[:EB], self.target_cam[:EB],
+            self.raw_mask[:EB], self.delta_dy[:EB],
+            jnp.asarray(ii_p), jnp.asarray(jj_p),
+            jnp.asarray(valid_p), w0, v.thresh,
+            update_apply=self.update_apply, agg_apply=self.agg_apply,
+            K=K, S_MAX=v.max_segments, segm_filter=v.segm_filter,
+            corr_chunk=self.corr_chunk)
+        self.net = self.net.at[:EB].set(net)
+        self.target_cam = self.target_cam.at[:EB].set(target_cam)
+        self.weight = self.weight.at[:EB].set(weight)
+        self.raw_mask = self.raw_mask.at[:EB].set(raw_mask)
+        self.delta_dy = self.delta_dy.at[:EB].set(delta_dy)
+        self.full_flow = self.full_flow.at[:EB].set(full_flow)
+
+        krows = np.clip(w0 + np.arange(K), 0, v.buffer - 1)
+        gk = jnp.asarray(krows)
+        dnew = jnp.where(has_edge[:, None, None], eta, v.damping[gk])
+        v.damping = v.damping.at[gk].set(dnew)
+
+    def update_lowmem(self, t0=None, t1=None, itrs=2, EP=1e-7, steps=8):
+        """Global-BA update loop (reference update_lowmem,
+        factor_graph.py:310-360): same kernel, chunked correlation,
+        lighter damping (lm=1e-5, ep=1e-2, damp factor 1.0)."""
+        for _ in range(steps):
+            t0_ = max(1, int(self.ii.min()) + 1) if t0 is None else t0
+            t1_ = int(self.video.counter) if t1 is None else t1
+            self._recurrent_step()
+            self._run_dba(t0_, t1_, itrs=itrs, use_inactive=False,
+                          EP=EP, motion_only=False, lm=1e-5, ep=1e-2,
+                          damp_fac=1.0)

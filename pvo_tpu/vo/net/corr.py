@@ -44,9 +44,11 @@ def corr_volume(fmap1, fmap2):
 
 
 def _avg_pool2(x):
-    """2x2 average pool over the last two spatial dims of (E,P,H,W)."""
+    """2x2/stride-2 average pool over the last two dims of (E,P,H,W);
+    odd trailing rows/cols are dropped (torch avg_pool2d semantics)."""
     E, P, H, W = x.shape
-    x = x.reshape(E, P, H // 2, 2, W // 2, 2)
+    H2, W2 = H // 2, W // 2
+    x = x[:, :, :2 * H2, :2 * W2].reshape(E, P, H2, 2, W2, 2)
     return x.mean(axis=(3, 5))
 
 

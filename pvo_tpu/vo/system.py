@@ -1,0 +1,133 @@
+"""The VO system facade: track / terminate, like the reference Droid.
+
+Rebuild of the reference Droid class (VO_Module/droid_slam/droid.py):
+wires MotionFilter -> Frontend -> Backend -> TrajectoryFiller around a
+shared DepthVideo, loads converted weights, and exposes
+``track(t, image, intrinsics, segments)`` + ``terminate(stream)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pvo_tpu.geom.upsample import upsample_inter
+from pvo_tpu.lie import se3
+from pvo_tpu.utils.config import VOConfig
+from pvo_tpu.vo.backend import Backend
+from pvo_tpu.vo.factor_graph import FactorGraph
+from pvo_tpu.vo.frontend import Frontend
+from pvo_tpu.vo.motion_filter import MotionFilter
+from pvo_tpu.vo.net import (BasicEncoder, DynamicUpdateModule, GraphAgg)
+from pvo_tpu.vo.trajectory_filler import TrajectoryFiller
+from pvo_tpu.vo.video import DepthVideo
+
+
+def make_modules(use_aff_bri=False):
+    return {
+        "fnet": BasicEncoder(output_dim=128, norm_fn="instance"),
+        "cnet": BasicEncoder(output_dim=256, norm_fn="none"),
+        "update": DynamicUpdateModule(use_aff_bri),
+        "agg": GraphAgg(),
+    }
+
+
+def init_params(modules, image_size=(48, 64), seed=0):
+    """Random-initialized parameter trees (used when no checkpoint is
+    given, e.g. for benchmarking and tests)."""
+    key = jax.random.PRNGKey(seed)
+    H, W = image_size
+    h, w = H // 8, W // 8
+    img = jnp.zeros((1, H, W, 3), jnp.float32)
+    net = jnp.zeros((1, h, w, 128), jnp.float32)
+    inp = jnp.zeros((1, h, w, 128), jnp.float32)
+    corr = jnp.zeros((1, h, w, 196), jnp.float32)
+    motion = jnp.zeros((1, h, w, 8), jnp.float32)
+    seg = jnp.zeros((1,), jnp.int32)
+    ks = jax.random.split(key, 4)
+    return {
+        "fnet": modules["fnet"].init(ks[0], img),
+        "cnet": modules["cnet"].init(ks[1], img),
+        "update": modules["update"].init(ks[2], net, inp, corr, motion),
+        "agg": modules["agg"].init(ks[3], net, seg, 1),
+    }
+
+
+class VOSystem:
+    """End-to-end visual odometry (the reference's `Droid`)."""
+
+    def __init__(self, cfg: Optional[VOConfig] = None, params=None,
+                 weights_path: Optional[str] = None):
+        self.cfg = cfg or VOConfig()
+        self.modules = make_modules(self.cfg.use_aff_bri)
+
+        if params is None and weights_path is not None:
+            from pvo_tpu.utils.convert import load_droidnet_torch
+            params = load_droidnet_torch(weights_path)
+        if params is None:
+            params = init_params(self.modules, self.cfg.image_size)
+        self.params = params
+
+        graph_params = {"update": params["update"],
+                        "agg": params["agg"]}
+
+        self.video = DepthVideo(
+            image_size=self.cfg.image_size, buffer=self.cfg.buffer,
+            segm_filter=self.cfg.segm_filter, thresh=self.cfg.thresh,
+            max_segments=self.cfg.max_segments)
+
+        self.filterx = MotionFilter(self.modules, params, self.video,
+                                    thresh=self.cfg.filter_thresh)
+
+        graph = FactorGraph(
+            self.video, self.modules["update"], self.modules["agg"],
+            graph_params, max_edges=self.cfg.max_edges,
+            max_inactive=self.cfg.max_inactive)
+        self.frontend = Frontend(graph, self.video, self.cfg)
+        self.backend = Backend(self.video, self.cfg,
+                               self.modules["update"],
+                               self.modules["agg"], graph_params)
+        self.traj_filler = TrajectoryFiller(self.video, {
+            "update": self.modules["update"],
+            "agg": self.modules["agg"]}, graph_params)
+
+    def track(self, tstamp, image, intrinsics, segments=None):
+        """image: (H, W, 3) uint8 RGB at cfg.image_size;
+        intrinsics: (4,) [fx, fy, cx, cy] at full resolution."""
+        self.filterx.track(tstamp, image, intrinsics, segments)
+        self.frontend()
+
+    def terminate(self, image_stream=None, need_inv=True,
+                  backend_steps=(7, 12)):
+        """Run global BA passes and fill non-keyframe poses.
+
+        Returns (T, 7) [t, q] trajectory (w2c if need_inv=False)."""
+        for steps in backend_steps:
+            self.backend(steps)
+
+        if image_stream is None:
+            traj = np.asarray(self.video.poses[:self.video.counter])
+        else:
+            traj = self.traj_filler(image_stream, self.filterx)
+        if need_inv:
+            traj = np.asarray(se3.inv(jnp.asarray(traj)))
+        return traj
+
+    # ---------- accessors (reference droid.py:94-104) ----------
+
+    def get_traj(self):
+        return np.asarray(self.video.poses[:self.video.counter])
+
+    def get_depth(self):
+        t = self.video.counter
+        d = self.video.disps[:t][..., None]
+        return np.asarray(upsample_inter(d)[..., 0])
+
+    def get_flow(self):
+        t = self.video.counter
+        return np.asarray(upsample_inter(
+            self.video.full_flow[:t] * 8.0))

@@ -80,7 +80,6 @@ class DepthVideo:
                segm=None):
         self.set_frame(self.counter, tstamp, image, pose, disp,
                        intrinsics, fmap, net, inp, segm)
-        self.counter += 1
 
     def set_frame(self, ix, tstamp, image=None, pose=None, disp=None,
                   intrinsics=None, fmap=None, net=None, inp=None,

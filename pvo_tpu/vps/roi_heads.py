@@ -1,0 +1,135 @@
+"""Standard ROI heads (box + mask), static-shape JAX.
+
+Rebuild of detectron2's StandardROIHeads (reference VPS_Module/
+detectron2/modeling/roi_heads/roi_heads.py:530): multi-level ROIAlign
+pooling with the FPN level-assignment rule, a 2-FC box head, class-wise
+box regression + per-class NMS inference, and the Mask R-CNN conv-
+upsample mask head evaluated on the final detections.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pvo_tpu.vo.net.layers import Conv
+
+from . import ops
+
+BOX_LEVELS = ("p2", "p3", "p4", "p5")
+BOX_STRIDES = (4, 8, 16, 32)
+
+
+def assign_levels(boxes, k_min=2, k_max=5, canonical=224,
+                  canonical_level=4):
+    """FPN paper level assignment (poolers.py)."""
+    area = ops.box_area(boxes)
+    s = jnp.sqrt(jnp.maximum(area, 1e-9))
+    lvl = jnp.floor(canonical_level + jnp.log2(s / canonical + 1e-8))
+    return jnp.clip(lvl, k_min, k_max).astype(jnp.int32) - k_min
+
+
+def multilevel_roi_align(feats: Dict[str, jnp.ndarray], boxes,
+                         out_size=7):
+    """Pool each box from its assigned level; evaluates every level for
+    every box and selects (static shapes; 4x redundant compute but the
+    pooled tensors are tiny relative to the backbone)."""
+    lvl_idx = assign_levels(boxes)
+    pooled = []
+    for li, (lvl, stride) in enumerate(zip(BOX_LEVELS, BOX_STRIDES)):
+        p = ops.roi_align(feats[lvl][0], boxes, out_size=out_size,
+                          spatial_scale=1.0 / stride)
+        pooled.append(p)
+    pooled = jnp.stack(pooled, axis=0)        # (L, R, s, s, C)
+    return jnp.take_along_axis(
+        pooled, lvl_idx[None, :, None, None, None], axis=0)[0]
+
+
+class BoxHead(nn.Module):
+    """2-FC box head + predictors (FastRCNNConvFCHead + outputs)."""
+    num_classes: int = 3
+    fc_dim: int = 1024
+
+    @nn.compact
+    def __call__(self, x):
+        R = x.shape[0]
+        x = x.reshape(R, -1)
+        x = nn.relu(nn.Dense(self.fc_dim, name="fc1")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, name="fc2")(x))
+        scores = nn.Dense(self.num_classes + 1, name="cls_score")(x)
+        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred")(x)
+        return scores, deltas
+
+
+class MaskHead(nn.Module):
+    """MaskRCNNConvUpsampleHead: 4x conv3x3 + deconv2x + 1x1."""
+    num_classes: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(4):
+            x = nn.relu(Conv(256, 3, name=f"mask_fcn{i + 1}")(x))
+        x = nn.ConvTranspose(256, (2, 2), strides=(2, 2),
+                             name="deconv")(x)
+        x = nn.relu(x)
+        return Conv(self.num_classes, 1, padding=0,
+                    name="predictor")(x)
+
+
+class ROIHeads(nn.Module):
+    num_classes: int = 3
+
+    def setup(self):
+        self.box_head = BoxHead(self.num_classes)
+        self.mask_head = MaskHead(self.num_classes)
+
+    def __call__(self, feats, proposals, proposal_valid, image_hw,
+                 score_thresh=0.05, nms_thresh=0.5, max_dets=100):
+        """Inference. Returns dict with boxes (D,4), scores (D,),
+        classes (D,), masks (D, 28, 28), valid (D,)."""
+        H, W = image_hw
+        R = proposals.shape[0]
+        K = self.num_classes
+
+        pooled = multilevel_roi_align(feats, proposals, out_size=7)
+        scores, deltas = self.box_head(pooled)
+        probs = jax.nn.softmax(scores, axis=-1)[:, :K]   # drop bg
+
+        # class-specific boxes (detectron2 Box2BoxTransform weights)
+        deltas = deltas.reshape(R, K, 4)
+        boxes_k = ops.decode_boxes(
+            deltas, proposals[:, None, :].repeat(K, 1),
+            weights=(10.0, 10.0, 5.0, 5.0))
+        boxes_k = ops.clip_boxes(boxes_k, H, W)
+
+        # flatten (R*K) candidates
+        flat_boxes = boxes_k.reshape(R * K, 4)
+        flat_scores = probs.reshape(R * K)
+        flat_cls = jnp.tile(jnp.arange(K, dtype=jnp.int32), (R,))
+        pvalid = jnp.repeat(proposal_valid, K)
+        flat_scores = jnp.where(
+            pvalid & (flat_scores > score_thresh), flat_scores, -jnp.inf)
+
+        keep, valid = ops.batched_nms(flat_boxes, flat_scores, flat_cls,
+                                      nms_thresh, max_dets)
+        det_boxes = flat_boxes[keep]
+        det_scores = jnp.where(valid, flat_scores[keep], 0.0)
+        det_cls = flat_cls[keep]
+
+        # mask head on the detected boxes (14x14 pool -> 28x28 masks)
+        mpooled = multilevel_roi_align(feats, det_boxes, out_size=14)
+        mlogits = self.mask_head(mpooled)                # (D,28,28,K)
+        midx = det_cls[:, None, None, None]
+        masks = jnp.take_along_axis(mlogits, midx, axis=-1)[..., 0]
+
+        return {
+            "boxes": det_boxes,
+            "scores": det_scores,
+            "classes": det_cls,
+            "mask_logits": masks,
+            "valid": valid,
+        }

@@ -1,0 +1,61 @@
+"""Initial (fusion-free) panoptic segmentation over vkitti scenes.
+
+Reference: tools/initial_segmentation.sh + tools/split_init_segm.py —
+runs Panoptic FPN in plain mode over the clone and 15-deg-left views and
+writes per-scene id2rgb PNGs into datasets/.../panFPN_segm/ for the VO
+segment filter.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import os.path as osp
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--datapath", required=True,
+                   help="Virtual_KITTI2 root")
+    p.add_argument("--weights", default=None)
+    p.add_argument("--scenes", nargs="+",
+                   default=["Scene01", "Scene02", "Scene06", "Scene18",
+                            "Scene20"])
+    p.add_argument("--views", nargs="+",
+                   default=["clone", "15-deg-left"])
+    args = p.parse_args()
+
+    import cv2
+    from PIL import Image
+
+    from pvo_tpu.utils.io import id2rgb
+    from pvo_tpu.vps.panoptic_fpn import PanopticPredictor
+
+    predictor = None
+    for scene in args.scenes:
+        for view in args.views:
+            imgs = sorted(glob.glob(osp.join(
+                args.datapath, scene, view,
+                "frames/rgb/Camera_0/*.jpg")))
+            if not imgs:
+                continue
+            out_dir = osp.join(args.datapath, scene, view,
+                               "panFPN_segm")
+            os.makedirs(out_dir, exist_ok=True)
+            for f in imgs:
+                img = cv2.imread(f)  # BGR like detectron2 input
+                if predictor is None:
+                    predictor = PanopticPredictor(
+                        image_hw=img.shape[:2])
+                pan, _, _, _ = predictor(img)
+                name = osp.basename(f).replace(".jpg", ".png")
+                Image.fromarray(id2rgb(pan)).save(
+                    osp.join(out_dir, name))
+            print(f"{scene}/{view}: {len(imgs)} frames")
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,9 @@ real-TPU benchmarking happens in bench.py, not in tests.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient environment pins JAX_PLATFORMS to the real
+# accelerator, which would serialize test jobs on the device tunnel
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +16,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the config API wins over the (externally pinned) env var
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

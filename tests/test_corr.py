@@ -89,11 +89,7 @@ class TestCorr:
         fmaps = jax.random.normal(key, (F, H, W, C), jnp.float32)
         ii = jnp.array([0, 1, 2, 0, 3])
         jj = jnp.array([1, 2, 3, 2, 0])
-        coords = jnp.broadcast_to(
-            jnp.stack(jnp.meshgrid(
-                jnp.arange(W, dtype=jnp.float32),
-                jnp.arange(H, dtype=jnp.float32))[::1], -1
-            ).transpose(1, 0, 2)[..., ::-1] * 0 + 3.5, (5, H, W, 2))
+        coords = jnp.full((5, H, W, 2), 3.5, jnp.float32)
         out_chunked = corr_ops.chunked_corr_lookup(
             fmaps, ii, jj, coords, chunk=2)
         out_dense = corr_ops.corr_and_lookup(

@@ -88,12 +88,12 @@ class TestDBAOracle:
                 jnp.broadcast_to(intr, (1, F, 4)), np.asarray(ii),
                 np.asarray(jj))]
         vmask = np.asarray(valid, np.float32)
-        Hb *= vmask[:, None, None]
-        vb *= vmask[:, None]
-        Ei *= vmask[:, None, None]
-        Ej *= vmask[:, None, None]
-        Ck *= vmask[:, None]
-        wk *= vmask[:, None]
+        Hb = Hb * vmask[:, None, None]
+        vb = vb * vmask[:, None]
+        Ei = Ei * vmask[:, None, None]
+        Ej = Ej * vmask[:, None, None]
+        Ck = Ck * vmask[:, None]
+        wk = wk * vmask[:, None]
 
         Pn = (t1 - t0) * 6
         Hf = np.zeros((Pn, Pn))
