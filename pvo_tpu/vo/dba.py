@@ -223,12 +223,16 @@ def dba(poses, disps, intrinsics, target, weight, eta, ii, jj, valid,
         ok_k = krows < t1
         dz = jnp.where(ok_k[:, None], dz, 0.0)
         new_disps = jnp.reshape(
-            disps.reshape(F, HW) + jnp.zeros((F + 1, HW)).at[
-                jnp.where(ok_k, krows, F)].set(dz)[:F],
+            disps.reshape(F, HW) + jnp.zeros(
+                (F + 1, HW), disps.dtype).at[
+                jnp.where(ok_k, krows, F)].set(
+                    dz.astype(disps.dtype))[:F],
             (F, h, w))
         new_disps = jnp.maximum(new_disps, 0.001)
         return new_poses, new_disps
 
-    for _ in range(iters):
-        poses, disps = one_iteration(poses, disps)
+    def body(_, carry):
+        return one_iteration(*carry)
+
+    poses, disps = jax.lax.fori_loop(0, iters, body, (poses, disps))
     return poses, disps

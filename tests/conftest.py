@@ -19,3 +19,11 @@ import jax  # noqa: E402
 # the config API wins over the (externally pinned) env var
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the SLAM system compiles a family of
+# bucket-shaped kernels; cache them across test runs
+cache_dir = os.path.join(os.path.dirname(__file__), "..",
+                         ".jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.abspath(cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
