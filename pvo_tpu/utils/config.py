@@ -39,7 +39,7 @@ class VOConfig:
     max_segments: int = 96       # static per-frame segment slots
 
     # static shape buckets (TPU: compile once, reuse)
-    max_edges: int = 64          # frontend active-edge bucket
+    max_edges: int = 128         # frontend active-edge bucket
     max_inactive: int = 96
     dtype_features: str = "bfloat16"
 

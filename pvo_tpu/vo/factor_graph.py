@@ -194,13 +194,13 @@ class FactorGraph:
         if len(ii) == 0:
             return
 
-        # enforce capacity: evict oldest (store as inactive)
+        # enforce capacity: evict oldest (store as inactive). The
+        # reference graph grows unboundedly when remove=False; with
+        # static buffers we instead retire the oldest edges to the
+        # inactive store (they still participate in BA via
+        # use_inactive), which degrades gracefully.
         overflow = self.n_edges + len(ii) - self.max_edges
         if overflow > 0:
-            if not remove:
-                raise RuntimeError(
-                    f"factor graph overflow ({self.n_edges}+{len(ii)} > "
-                    f"{self.max_edges}) and remove=False")
             order = np.argsort(-self.age)  # oldest first
             drop = np.zeros(self.n_edges, bool)
             drop[order[:overflow]] = True
