@@ -15,9 +15,18 @@ so vs_baseline = fps / 10.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+import jax
+
+# persistent compilation cache: the SLAM kernels compile per shape
+# bucket; caching makes repeat benches measure runtime, not XLA
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.abspath(".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def synth_stream(n, H, W, seed=0):
@@ -37,7 +46,7 @@ def main():
     from pvo_tpu.vo.system import VOSystem
 
     H, W = 240, 808
-    n_warm, n_meas = 18, 30
+    n_warm, n_meas = 24, 30
 
     cfg = VOConfig(image_size=(H, W), buffer=128,
                    filter_thresh=0.01,      # admit every frame: worst case
@@ -51,7 +60,6 @@ def main():
     for (t, img, intr, segm) in frames[:n_warm]:
         sysm.track(t, img, intr, segments=segm)
 
-    import jax
     jax.block_until_ready(sysm.video.poses)
 
     t0 = time.perf_counter()

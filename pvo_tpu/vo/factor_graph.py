@@ -44,16 +44,12 @@ def _bucket(n, buckets):
     raise ValueError(f"size {n} exceeds largest bucket {buckets[-1]}")
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("update_apply", "agg_apply", "K", "S_MAX",
-                     "segm_filter", "corr_chunk"))
-def _update_kernel(params, poses, disps, intrinsics, fmaps, inps, segms,
-                   net, target_cam, raw_mask, delta_dy,
-                   ii, jj, valid, w0, seg_thresh,
-                   update_apply, agg_apply, K, S_MAX, segm_filter,
-                   corr_chunk=16):
-    """One recurrent update over all (padded) edges.
+def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
+                 net, target_cam, raw_mask, delta_dy,
+                 ii, jj, valid, w0, seg_thresh,
+                 update_apply, agg_apply, K, S_MAX, segm_filter,
+                 corr_chunk=16):
+    """One recurrent update over all (padded) edges (traced helper).
 
     Returns new (net, target_cam, weight, raw_mask, delta_dy, full_flow,
     eta (K,h,w), frame_has_edge (K,)).
@@ -128,6 +124,65 @@ def _update_kernel(params, poses, disps, intrinsics, fmaps, inps, segms,
             full_flow, eta[..., 0], counts > 0)
 
 
+@functools.partial(
+    jax.jit,
+    donate_argnames=("poses", "disps", "damping", "net_full",
+                     "target_full", "weight_full", "raw_full",
+                     "dy_full", "flow_full"),
+    static_argnames=("update_apply", "agg_apply", "K", "P", "PAIRS",
+                     "S_MAX", "segm_filter", "corr_chunk", "EB",
+                     "iters", "motion_only"))
+def _fused_step(params, poses, disps, intrinsics, fmaps, inps, segms,
+                damping,
+                net_full, target_full, weight_full, raw_full, dy_full,
+                flow_full,
+                ii_r, jj_r, valid_r,
+                extra_target, extra_weight, ii_ba, jj_ba, valid_ba,
+                pairs_a, pairs_b, pairs_valid,
+                w0, t0, t1, seg_thresh, damp_fac, EP, lm, ep,
+                update_apply, agg_apply, K, P, PAIRS, S_MAX,
+                segm_filter, corr_chunk, EB, iters, motion_only):
+    """ONE device program for a full graph update: recurrent operator
+    over the active edges + damping persistence + fused DBA over the
+    active (+inactive) edge set. Buffers are donated, so per-frame
+    host<->device traffic is a handful of small index arrays — the
+    latency fix for driving a remote TPU."""
+    F = poses.shape[0]
+    h, w = disps.shape[-2:]
+
+    (net, target, weight, raw, dy, flow, eta, has_edge) = _update_core(
+        params, poses, disps, intrinsics, fmaps, inps, segms,
+        net_full[:EB], target_full[:EB], raw_full[:EB], dy_full[:EB],
+        ii_r, jj_r, valid_r, w0, seg_thresh,
+        update_apply, agg_apply, K, S_MAX, segm_filter, corr_chunk)
+
+    net_full = net_full.at[:EB].set(net)
+    target_full = target_full.at[:EB].set(target)
+    weight_full = weight_full.at[:EB].set(weight)
+    raw_full = raw_full.at[:EB].set(raw)
+    dy_full = dy_full.at[:EB].set(dy)
+    flow_full = flow_full.at[:EB].set(flow)
+
+    krows = jnp.clip(w0 + jnp.arange(K), 0, F - 1)
+    dwin = jnp.where(has_edge[:, None, None], eta, damping[krows])
+    damping = damping.at[krows].set(dwin)
+
+    eta_k = damp_fac * damping[krows] + EP
+
+    EI = extra_target.shape[0]
+    target_all = jnp.concatenate([extra_target, target_full[:EB]], 0)
+    weight_all = jnp.concatenate([extra_weight, weight_full[:EB]], 0)
+
+    poses, disps = dba_mod.dba(
+        poses, disps, intrinsics, target_all, weight_all, eta_k,
+        ii_ba, jj_ba, valid_ba, pairs_a, pairs_b, pairs_valid,
+        t0, t1, w0, P=P, K=K, iters=iters, motion_only=motion_only,
+        ep=ep, lm=lm)
+
+    return (poses, disps, damping, net_full, target_full, weight_full,
+            raw_full, dy_full, flow_full)
+
+
 class FactorGraph:
     def __init__(self, video, update_module, agg_module, params,
                  max_edges=96, max_inactive=96, corr_chunk=16,
@@ -143,6 +198,7 @@ class FactorGraph:
             edge_buckets = tuple(sorted({32, 64, max_edges}))
         self.edge_buckets = tuple(b for b in edge_buckets
                                   if b <= max_edges)
+        self.inactive_buckets = tuple(sorted({0, max_inactive}))
         self.pose_buckets = pose_buckets
         self.pair_buckets = pair_buckets
 
@@ -371,124 +427,87 @@ class FactorGraph:
                EP=1e-7, motion_only=False):
         if self.n_edges == 0:
             return
-        self._recurrent_step()
-
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)
         if t1 is None:
             t1 = int(max(self.ii.max(), self.jj.max())) + 1
-
-        self._run_dba(t0, t1, itrs=itrs, use_inactive=use_inactive,
-                      EP=EP, motion_only=motion_only,
-                      lm=1e-4, ep=0.1, damp_fac=0.2)
+        self._fused(t0, t1, itrs=itrs, use_inactive=use_inactive,
+                    EP=EP, motion_only=motion_only,
+                    lm=1e-4, ep=0.1, damp_fac=0.2)
         self.age += 1
-
-    def _run_dba(self, t0, t1, itrs, use_inactive, EP, motion_only,
-                 lm, ep, damp_fac):
-        """Assemble (active [+inactive]) edges and run the fused DBA."""
-        v = self.video
-        h, w = self.h, self.w
-
-        n_act = self.n_edges
-        if use_inactive and len(self.ii_inac) > 0:
-            m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
-            sel = np.nonzero(m)[0]
-            ii_all = np.concatenate([self.ii_inac[sel], self.ii])
-            jj_all = np.concatenate([self.jj_inac[sel], self.jj])
-            gsel = jnp.asarray(sel)
-            target_list = [self.target_inac[gsel],
-                           self.target_cam[:n_act]]
-            weight_list = [self.weight_inac[gsel], self.weight[:n_act]]
-            buckets = tuple(sorted(set(
-                list(self.edge_buckets) +
-                [self.max_edges + self.max_inactive])))
-        else:
-            ii_all, jj_all = self.ii, self.jj
-            target_list = [self.target_cam[:n_act]]
-            weight_list = [self.weight[:n_act]]
-            buckets = self.edge_buckets
-
-        n = len(ii_all)
-        EB = _bucket(n, buckets)
-        pad = EB - n
-        target_list.append(jnp.zeros((pad, h, w, 2), jnp.float32))
-        weight_list.append(jnp.zeros((pad, h, w, 2), jnp.float32))
-        target_all = jnp.concatenate(target_list, axis=0)
-        weight_all = jnp.concatenate(weight_list, axis=0)
-
-        ii_b = np.zeros(EB, np.int32)
-        jj_b = np.zeros(EB, np.int32)
-        valid_b = np.zeros(EB, bool)
-        ii_b[:n] = ii_all
-        jj_b[:n] = jj_all
-        valid_b[:n] = True
-
-        w0 = int(ii_all.min())
-        K = _bucket(int(ii_all.max()) - w0 + 1, self.pose_buckets)
-        P = _bucket(int(t1 - t0), self.pose_buckets)
-
-        npairs = 0
-        from collections import Counter
-        cnt = Counter(ii_all.tolist())
-        npairs = sum(c * c for c in cnt.values())
-        PAIRS = _bucket(npairs, self.pair_buckets)
-        pa, pb, pv = dba_mod.build_edge_pairs(ii_b, valid_b, PAIRS)
-
-        # damping (eta) for the K depth window (gather, not
-        # dynamic_slice: slices clamp their start index when w0+K
-        # overruns the buffer, which would misalign the m = ii-w0 map)
-        krows = np.clip(w0 + np.arange(K), 0, v.buffer - 1)
-        dwin = v.damping[jnp.asarray(krows)]
-        eta_k = damp_fac * dwin + EP
-
-        poses, disps = dba_mod.dba(
-            v.poses, v.disps, v.intrinsics[0], target_all, weight_all,
-            eta_k, jnp.asarray(ii_b), jnp.asarray(jj_b),
-            jnp.asarray(valid_b), jnp.asarray(pa), jnp.asarray(pb),
-            jnp.asarray(pv), t0, t1, w0, P=P, K=K, iters=itrs,
-            motion_only=motion_only, ep=ep, lm=lm)
-        v.poses, v.disps = poses, disps
-
-    def _recurrent_step(self):
-        """Run the jitted recurrent update (corr -> GRU -> heads ->
-        segment filter) over all active edges and persist the per-frame
-        BA damping produced by GraphAgg."""
-        v = self.video
-        EB = _bucket(self.n_edges, self.edge_buckets)
-        ii_p, jj_p, valid_p = self._padded_edges(EB)
-        w0 = int(self.ii.min())
-        K = _bucket(int(self.ii.max()) - w0 + 1, self.pose_buckets)
-
-        (net, target_cam, weight, raw_mask, delta_dy, full_flow, eta,
-         has_edge) = _update_kernel(
-            self.params, v.poses, v.disps, v.intrinsics[0], v.fmaps,
-            v.inps, v.segms, self.net[:EB], self.target_cam[:EB],
-            self.raw_mask[:EB], self.delta_dy[:EB],
-            jnp.asarray(ii_p), jnp.asarray(jj_p),
-            jnp.asarray(valid_p), w0, v.thresh,
-            update_apply=self.update_apply, agg_apply=self.agg_apply,
-            K=K, S_MAX=v.max_segments, segm_filter=v.segm_filter,
-            corr_chunk=self.corr_chunk)
-        self.net = self.net.at[:EB].set(net)
-        self.target_cam = self.target_cam.at[:EB].set(target_cam)
-        self.weight = self.weight.at[:EB].set(weight)
-        self.raw_mask = self.raw_mask.at[:EB].set(raw_mask)
-        self.delta_dy = self.delta_dy.at[:EB].set(delta_dy)
-        self.full_flow = self.full_flow.at[:EB].set(full_flow)
-
-        krows = np.clip(w0 + np.arange(K), 0, v.buffer - 1)
-        gk = jnp.asarray(krows)
-        dnew = jnp.where(has_edge[:, None, None], eta, v.damping[gk])
-        v.damping = v.damping.at[gk].set(dnew)
 
     def update_lowmem(self, t0=None, t1=None, itrs=2, EP=1e-7, steps=8):
         """Global-BA update loop (reference update_lowmem,
-        factor_graph.py:310-360): same kernel, chunked correlation,
-        lighter damping (lm=1e-5, ep=1e-2, damp factor 1.0)."""
+        factor_graph.py:310-360): same fused step, lighter damping
+        (lm=1e-5, ep=1e-2, damp factor 1.0)."""
         for _ in range(steps):
             t0_ = max(1, int(self.ii.min()) + 1) if t0 is None else t0
             t1_ = int(self.video.counter) if t1 is None else t1
-            self._recurrent_step()
-            self._run_dba(t0_, t1_, itrs=itrs, use_inactive=False,
-                          EP=EP, motion_only=False, lm=1e-5, ep=1e-2,
-                          damp_fac=1.0)
+            self._fused(t0_, t1_, itrs=itrs, use_inactive=False,
+                        EP=EP, motion_only=False, lm=1e-5, ep=1e-2,
+                        damp_fac=1.0)
+
+    def _fused(self, t0, t1, itrs, use_inactive, EP, motion_only,
+               lm, ep, damp_fac):
+        """Host prep (numpy index work only) + ONE device call."""
+        v = self.video
+        h, w = self.h, self.w
+        n = self.n_edges
+
+        EB = _bucket(n, self.edge_buckets)
+        ii_r, jj_r, valid_r = self._padded_edges(EB)
+
+        # inactive edges participating in BA
+        if use_inactive and len(self.ii_inac) > 0:
+            m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+            sel = np.nonzero(m)[0]
+        else:
+            sel = np.zeros(0, np.int64)
+        EI = _bucket(len(sel), self.inactive_buckets)
+        sel_pad = np.concatenate(
+            [sel, np.zeros(EI - len(sel), np.int64)])
+        gsel = jnp.asarray(sel_pad)
+        extra_target = self.target_inac[gsel] if EI else \
+            jnp.zeros((0, h, w, 2), jnp.float32)
+        extra_weight = self.weight_inac[gsel] if EI else \
+            jnp.zeros((0, h, w, 2), jnp.float32)
+
+        # BA edge set = [inactive | active], padded to EI + EB
+        ii_ba = np.zeros(EI + EB, np.int32)
+        jj_ba = np.zeros(EI + EB, np.int32)
+        valid_ba = np.zeros(EI + EB, bool)
+        ii_ba[:len(sel)] = self.ii_inac[sel]
+        jj_ba[:len(sel)] = self.jj_inac[sel]
+        valid_ba[:len(sel)] = True
+        ii_ba[EI:EI + n] = self.ii
+        jj_ba[EI:EI + n] = self.jj
+        valid_ba[EI:EI + n] = True
+
+        all_ii = ii_ba[valid_ba]
+        w0 = int(all_ii.min())
+        K = _bucket(int(all_ii.max()) - w0 + 1, self.pose_buckets)
+        P = _bucket(int(t1 - t0), self.pose_buckets)
+
+        from collections import Counter
+        cnt = Counter(all_ii.tolist())
+        PAIRS = _bucket(sum(c * c for c in cnt.values()),
+                        self.pair_buckets)
+        pa, pb, pv = dba_mod.build_edge_pairs(ii_ba, valid_ba, PAIRS)
+
+        (v.poses, v.disps, v.damping, self.net, self.target_cam,
+         self.weight, self.raw_mask, self.delta_dy,
+         self.full_flow) = _fused_step(
+            self.params, v.poses, v.disps, v.intrinsics[0], v.fmaps,
+            v.inps, v.segms, v.damping,
+            self.net, self.target_cam, self.weight, self.raw_mask,
+            self.delta_dy, self.full_flow,
+            jnp.asarray(ii_r), jnp.asarray(jj_r), jnp.asarray(valid_r),
+            extra_target, extra_weight,
+            jnp.asarray(ii_ba), jnp.asarray(jj_ba),
+            jnp.asarray(valid_ba),
+            jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(pv),
+            w0, t0, t1, v.thresh, damp_fac, EP, lm, ep,
+            update_apply=self.update_apply, agg_apply=self.agg_apply,
+            K=K, P=P, PAIRS=PAIRS, S_MAX=v.max_segments,
+            segm_filter=v.segm_filter, corr_chunk=self.corr_chunk,
+            EB=EB, iters=itrs, motion_only=motion_only)

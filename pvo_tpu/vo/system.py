@@ -83,10 +83,13 @@ class VOSystem:
         self.filterx = MotionFilter(self.modules, params, self.video,
                                     thresh=self.cfg.filter_thresh)
 
+        # single edge bucket: one compiled signature for the whole run
+        # (padding waste is cheaper than recompiles on live streams)
         graph = FactorGraph(
             self.video, self.modules["update"], self.modules["agg"],
             graph_params, max_edges=self.cfg.max_edges,
-            max_inactive=self.cfg.max_inactive)
+            max_inactive=self.cfg.max_inactive,
+            edge_buckets=(self.cfg.max_edges,))
         self.frontend = Frontend(graph, self.video, self.cfg)
         self.backend = Backend(self.video, self.cfg,
                                self.modules["update"],

@@ -19,13 +19,35 @@ TPU design deltas:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from pvo_tpu.geom import projective
 from pvo_tpu.geom.distance import frame_distance_bidirectional
 from pvo_tpu.lie import se3
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
+                   static_argnames=("set_pose",))
+def _append_frame(fmaps, nets, inps, segms, images, poses, disps,
+                  intrinsics, ix, fmap, net, inp, segm, image, pose,
+                  disp, intr, set_pose):
+    """Batched keyframe write: ONE dispatch instead of ~8 scatters —
+    matters when the accelerator sits behind a network tunnel."""
+    fmaps = fmaps.at[ix].set(fmap.astype(fmaps.dtype))
+    nets = nets.at[ix].set(net.astype(nets.dtype))
+    inps = inps.at[ix].set(inp.astype(inps.dtype))
+    segms = segms.at[ix].set(segm)
+    images = images.at[ix].set(image)
+    intrinsics = intrinsics.at[ix].set(intr)
+    if set_pose:
+        poses = poses.at[ix].set(pose)
+        disps = disps.at[ix].set(disp)
+    return fmaps, nets, inps, segms, images, poses, disps, intrinsics
 
 
 class DepthVideo:
@@ -87,6 +109,29 @@ class DepthVideo:
         if ix >= self.counter:
             self.counter = ix + 1
         self.tstamp[ix] = float(tstamp)
+        if fmap is not None and net is not None and inp is not None \
+                and image is not None and intrinsics is not None:
+            # fused keyframe write (one dispatch)
+            s = jnp.zeros((self.h, self.w), jnp.int32) if segm is None \
+                or not self.segm_filter else \
+                jnp.asarray(self._remap_segments(segm))
+            set_pose = pose is not None
+            pose_v = jnp.asarray(
+                pose if pose is not None else np.zeros(7), jnp.float32)
+            disp_v = jnp.asarray(
+                disp if disp is not None else
+                np.ones((self.h, self.w)), jnp.float32)
+            if jnp.ndim(disp_v) == 0:
+                disp_v = jnp.full((self.h, self.w), disp_v)
+            (self.fmaps, self.nets, self.inps, self.segms, self.images,
+             self.poses, self.disps, self.intrinsics) = _append_frame(
+                self.fmaps, self.nets, self.inps, self.segms,
+                self.images, self.poses, self.disps, self.intrinsics,
+                ix, jnp.asarray(fmap), jnp.asarray(net),
+                jnp.asarray(inp), s, jnp.asarray(image, jnp.uint8),
+                pose_v, disp_v, jnp.asarray(intrinsics, jnp.float32),
+                set_pose=set_pose)
+            return
         if image is not None:
             self.images = self.images.at[ix].set(
                 jnp.asarray(image, jnp.uint8))

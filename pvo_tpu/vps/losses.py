@@ -1,0 +1,116 @@
+"""Detection / segmentation training losses, static-shape JAX.
+
+Rebuild of the detectron2 loss stack the reference trains with
+(VPS_Module/detectron2/modeling/proposal_generator/rpn.py,
+roi_heads/fast_rcnn.py, mask_head.py, meta_arch/semantic_seg.py):
+RPN objectness BCE + box regression, Fast R-CNN classification +
+class-specific box regression, mask BCE, and semantic-segmentation
+cross-entropy with ignore label. Matching and subsampling are
+reformulated as fixed-size masked computations (no dynamic shapes):
+instead of drawing a random 256-anchor subsample we weight by the
+matched masks and normalize by the (clamped) positive count — the
+expected-loss equivalent of detectron2's sampling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import ops
+
+IGNORE_LABEL = 255
+
+
+def smooth_l1(x, beta=0.0):
+    ax = jnp.abs(x)
+    if beta <= 0:
+        return ax
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+def match_anchors(anchors, gt_boxes, gt_valid, pos_thresh=0.7,
+                  neg_thresh=0.3):
+    """IoU matcher (detectron2 Matcher semantics with
+    allow_low_quality_matches): returns (matched_idx (A,), labels (A,))
+    with labels 1=pos, 0=neg, -1=ignore."""
+    iou = ops.box_iou(anchors, gt_boxes)              # (A, G)
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)
+    best_iou = jnp.max(iou, axis=1)
+
+    labels = jnp.where(best_iou >= pos_thresh, 1,
+                       jnp.where(best_iou < neg_thresh, 0, -1))
+    # low-quality matches: each gt's best anchor is positive
+    best_anchor_per_gt = jnp.max(iou, axis=0)         # (G,)
+    is_best = jnp.any(
+        (iou >= best_anchor_per_gt[None, :] - 1e-6) & (iou > 0) &
+        gt_valid[None, :], axis=1)
+    labels = jnp.where(is_best, 1, labels)
+    return best_gt, labels
+
+
+def rpn_loss(anchors, obj_logits, deltas, gt_boxes, gt_valid,
+             norm_count=256.0):
+    """anchors (A,4), obj_logits (A,), deltas (A,4);
+    gt_boxes (G,4) padded with gt_valid mask."""
+    matched, labels = match_anchors(anchors, gt_boxes, gt_valid)
+    pos = (labels == 1).astype(jnp.float32)
+    neg = (labels == 0).astype(jnp.float32)
+
+    tgt = ops.encode_boxes(anchors, gt_boxes[matched])
+    loc = jnp.sum(pos[:, None] * smooth_l1(deltas - tgt)) / norm_count
+
+    logp = jax.nn.log_sigmoid(obj_logits)
+    logn = jax.nn.log_sigmoid(-obj_logits)
+    obj = -(pos * logp + neg * logn)
+    obj = jnp.sum(obj) / norm_count
+    return obj, loc
+
+
+def fast_rcnn_loss(proposals, prop_valid, scores, deltas, gt_boxes,
+                   gt_classes, gt_valid, num_classes,
+                   fg_thresh=0.5):
+    """scores (R, K+1), deltas (R, K*4). Background = class K."""
+    iou = ops.box_iou(proposals, gt_boxes)
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)
+    best_iou = jnp.max(iou, axis=1)
+    fg = (best_iou >= fg_thresh) & prop_valid
+    tgt_cls = jnp.where(fg, gt_classes[best_gt], num_classes)
+
+    logits = jax.nn.log_softmax(scores, axis=-1)
+    ce = -jnp.take_along_axis(logits, tgt_cls[:, None], axis=1)[:, 0]
+    ce = jnp.sum(jnp.where(prop_valid, ce, 0.0)) / \
+        jnp.maximum(jnp.sum(prop_valid), 1)
+
+    tgt_deltas = ops.encode_boxes(proposals, gt_boxes[best_gt],
+                                  weights=(10.0, 10.0, 5.0, 5.0))
+    d = deltas.reshape(-1, num_classes, 4)
+    d_sel = jnp.take_along_axis(
+        d, jnp.clip(tgt_cls, 0, num_classes - 1)[:, None, None]
+        .repeat(4, -1), axis=1)[:, 0]
+    loc = jnp.sum(fg[:, None] * smooth_l1(d_sel - tgt_deltas)) / \
+        jnp.maximum(jnp.sum(prop_valid), 1)
+    return ce, loc, fg, best_gt
+
+
+def mask_loss(mask_logits, fg, gt_masks_28):
+    """mask_logits (R, 28, 28) for the target class; gt_masks_28
+    (R, 28, 28) in {0,1} cropped to the proposal."""
+    p = mask_logits
+    y = gt_masks_28
+    bce = jnp.maximum(p, 0) - p * y + jnp.log1p(jnp.exp(-jnp.abs(p)))
+    per = jnp.mean(bce, axis=(1, 2))
+    return jnp.sum(jnp.where(fg, per, 0.0)) / \
+        jnp.maximum(jnp.sum(fg), 1)
+
+
+def semseg_loss(logits, labels, ignore=IGNORE_LABEL, weight=0.5):
+    """logits (B, H, W, S); labels (B, H, W) int with ignore."""
+    valid = labels != ignore
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return weight * jnp.sum(jnp.where(valid, ce, 0.0)) / \
+        jnp.maximum(jnp.sum(valid), 1)

@@ -1,0 +1,82 @@
+"""Smoke + semantics tests for the Panoptic FPN stack (random weights)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pvo_tpu.vps.fpn import FPN
+from pvo_tpu.vps.panoptic_fpn import (PanopticFPN, combine_panoptic,
+                                      flow_warp_features)
+from pvo_tpu.vps.resnet import ResNet50
+
+KEY = jax.random.PRNGKey(0)
+H, W = 64, 96
+
+
+class TestBackbone:
+    def test_resnet_strides(self):
+        net = ResNet50()
+        x = jax.random.normal(KEY, (1, H, W, 3))
+        params = net.init(KEY, x)
+        out = net.apply(params, x)
+        assert out["res2"].shape == (1, H // 4, W // 4, 256)
+        assert out["res5"].shape == (1, H // 32, W // 32, 2048)
+
+    def test_fpn_levels(self):
+        net = ResNet50()
+        x = jax.random.normal(KEY, (1, H, W, 3))
+        feats = net.apply(net.init(KEY, x), x)
+        fpn = FPN()
+        p = fpn.apply(fpn.init(KEY, feats), feats)
+        assert p["p2"].shape == (1, H // 4, W // 4, 256)
+        # p6 = stride-2 subsample of p5 (torch floor((n-1)/2)+1)
+        assert p["p6"].shape == (1, (H // 32 - 1) // 2 + 1,
+                                 (W // 32 - 1) // 2 + 1, 256)
+
+
+class TestPanopticFPN:
+    @pytest.mark.slow
+    def test_full_inference_shapes(self):
+        model = PanopticFPN()
+        x = jax.random.normal(KEY, (1, H, W, 3)) * 30 + 100
+        params = model.init(KEY, x)
+        sem, dets = model.apply(params, x, max_dets=20)
+        assert sem.shape == (1, H, W, 12)
+        assert dets["boxes"].shape == (20, 4)
+        assert dets["mask_logits"].shape == (20, 28, 28)
+        assert bool(jnp.all(jnp.isfinite(sem)))
+
+    def test_flow_warp_identity(self):
+        feats = {"p2": jax.random.normal(KEY, (1, 8, 12, 4))}
+        flow = jnp.zeros((32, 48, 2))
+        out = flow_warp_features(feats, flow)
+        np.testing.assert_allclose(out["p2"], feats["p2"], atol=1e-6)
+
+    def test_flow_warp_shift(self):
+        feats = {"p2": jnp.zeros((1, 8, 8, 1)).at[0, 2, 2, 0].set(5.0)}
+        flow = jnp.zeros((8, 8, 2)).at[..., 0].set(2.0)  # shift +2 x
+        out = flow_warp_features(feats, flow)
+        assert float(out["p2"][0, 2, 4, 0]) == 5.0
+
+
+class TestCombine:
+    def test_combine_ids(self):
+        D = 4
+        dets = {
+            "boxes": np.array([[8., 8., 40., 40.]] * D, np.float32),
+            "scores": np.array([0.9, 0.4, 0.0, 0.0], np.float32),
+            "classes": np.array([1, 0, 0, 0]),  # contiguous -> Car=13
+            "mask_logits": np.full((D, 28, 28), 8.0, np.float32),
+            "valid": np.array([True, True, False, False]),
+        }
+        sem = np.full((64, 64), 6, np.int64)  # Road (stuff contiguous 6)
+        pan, segs = combine_panoptic(dets, sem, stuff_area_thresh=64)
+        cats = {s["category_id"] for s in segs}
+        assert 13 in cats     # thing: Car trainId
+        assert 6 in cats      # stuff: Road trainId
+        thing_ids = [s["id"] for s in segs if s["isthing"]]
+        assert all(i // 10000 == 13 and i % 10000 > 0
+                   for i in thing_ids)
+        # second instance dropped: fully overlapped by the first
+        assert len(thing_ids) == 1
