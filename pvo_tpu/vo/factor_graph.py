@@ -131,7 +131,7 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
                      "dy_full", "flow_full"),
     static_argnames=("update_apply", "agg_apply", "K", "P", "PAIRS",
                      "S_MAX", "segm_filter", "corr_chunk", "EB",
-                     "iters", "motion_only"))
+                     "iters", "motion_only", "steps"))
 def _fused_step(params, poses, disps, intrinsics, fmaps, inps, segms,
                 damping,
                 net_full, target_full, weight_full, raw_full, dy_full,
@@ -141,46 +141,57 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, inps, segms,
                 pairs_a, pairs_b, pairs_valid,
                 w0, t0, t1, seg_thresh, damp_fac, EP, lm, ep,
                 update_apply, agg_apply, K, P, PAIRS, S_MAX,
-                segm_filter, corr_chunk, EB, iters, motion_only):
-    """ONE device program for a full graph update: recurrent operator
-    over the active edges + damping persistence + fused DBA over the
-    active (+inactive) edge set. Buffers are donated, so per-frame
-    host<->device traffic is a handful of small index arrays — the
-    latency fix for driving a remote TPU."""
+                segm_filter, corr_chunk, EB, iters, motion_only,
+                steps=1):
+    """ONE device program for ``steps`` consecutive graph updates:
+    recurrent operator over the active edges + damping persistence +
+    fused DBA over the active (+inactive) edge set, looped on-device.
+    Buffers are donated, so per-keyframe host<->device traffic is a
+    handful of small index arrays — the latency fix for driving a
+    remote TPU."""
     F = poses.shape[0]
-    h, w = disps.shape[-2:]
 
-    (net, target, weight, raw, dy, flow, eta, has_edge) = _update_core(
-        params, poses, disps, intrinsics, fmaps, inps, segms,
-        net_full[:EB], target_full[:EB], raw_full[:EB], dy_full[:EB],
-        ii_r, jj_r, valid_r, w0, seg_thresh,
-        update_apply, agg_apply, K, S_MAX, segm_filter, corr_chunk)
+    def one_step(_, carry):
+        (poses, disps, damping, net_full, target_full, weight_full,
+         raw_full, dy_full, flow_full) = carry
 
-    net_full = net_full.at[:EB].set(net)
-    target_full = target_full.at[:EB].set(target)
-    weight_full = weight_full.at[:EB].set(weight)
-    raw_full = raw_full.at[:EB].set(raw)
-    dy_full = dy_full.at[:EB].set(dy)
-    flow_full = flow_full.at[:EB].set(flow)
+        (net, target, weight, raw, dy, flow, eta,
+         has_edge) = _update_core(
+            params, poses, disps, intrinsics, fmaps, inps, segms,
+            net_full[:EB], target_full[:EB], raw_full[:EB],
+            dy_full[:EB], ii_r, jj_r, valid_r, w0, seg_thresh,
+            update_apply, agg_apply, K, S_MAX, segm_filter, corr_chunk)
 
-    krows = jnp.clip(w0 + jnp.arange(K), 0, F - 1)
-    dwin = jnp.where(has_edge[:, None, None], eta, damping[krows])
-    damping = damping.at[krows].set(dwin)
+        net_full = net_full.at[:EB].set(net)
+        target_full = target_full.at[:EB].set(target)
+        weight_full = weight_full.at[:EB].set(weight)
+        raw_full = raw_full.at[:EB].set(raw)
+        dy_full = dy_full.at[:EB].set(dy)
+        flow_full = flow_full.at[:EB].set(flow)
 
-    eta_k = damp_fac * damping[krows] + EP
+        krows = jnp.clip(w0 + jnp.arange(K), 0, F - 1)
+        dwin = jnp.where(has_edge[:, None, None], eta, damping[krows])
+        damping = damping.at[krows].set(dwin)
 
-    EI = extra_target.shape[0]
-    target_all = jnp.concatenate([extra_target, target_full[:EB]], 0)
-    weight_all = jnp.concatenate([extra_weight, weight_full[:EB]], 0)
+        eta_k = damp_fac * damping[krows] + EP
 
-    poses, disps = dba_mod.dba(
-        poses, disps, intrinsics, target_all, weight_all, eta_k,
-        ii_ba, jj_ba, valid_ba, pairs_a, pairs_b, pairs_valid,
-        t0, t1, w0, P=P, K=K, iters=iters, motion_only=motion_only,
-        ep=ep, lm=lm)
+        target_all = jnp.concatenate(
+            [extra_target, target_full[:EB]], 0)
+        weight_all = jnp.concatenate(
+            [extra_weight, weight_full[:EB]], 0)
 
-    return (poses, disps, damping, net_full, target_full, weight_full,
-            raw_full, dy_full, flow_full)
+        poses, disps = dba_mod.dba(
+            poses, disps, intrinsics, target_all, weight_all, eta_k,
+            ii_ba, jj_ba, valid_ba, pairs_a, pairs_b, pairs_valid,
+            t0, t1, w0, P=P, K=K, iters=iters,
+            motion_only=motion_only, ep=ep, lm=lm)
+
+        return (poses, disps, damping, net_full, target_full,
+                weight_full, raw_full, dy_full, flow_full)
+
+    carry = (poses, disps, damping, net_full, target_full, weight_full,
+             raw_full, dy_full, flow_full)
+    return jax.lax.fori_loop(0, steps, one_step, carry)
 
 
 class FactorGraph:
@@ -424,7 +435,10 @@ class FactorGraph:
         return ii, jj, valid
 
     def update(self, t0=None, t1=None, itrs=2, use_inactive=False,
-               EP=1e-7, motion_only=False):
+               EP=1e-7, motion_only=False, steps=1):
+        """``steps`` consecutive updates run inside one device program
+        (the reference loops graph.update() on the host,
+        droid_frontend.py:48-62)."""
         if self.n_edges == 0:
             return
         if t0 is None:
@@ -433,22 +447,21 @@ class FactorGraph:
             t1 = int(max(self.ii.max(), self.jj.max())) + 1
         self._fused(t0, t1, itrs=itrs, use_inactive=use_inactive,
                     EP=EP, motion_only=motion_only,
-                    lm=1e-4, ep=0.1, damp_fac=0.2)
-        self.age += 1
+                    lm=1e-4, ep=0.1, damp_fac=0.2, steps=steps)
+        self.age += steps
 
     def update_lowmem(self, t0=None, t1=None, itrs=2, EP=1e-7, steps=8):
         """Global-BA update loop (reference update_lowmem,
-        factor_graph.py:310-360): same fused step, lighter damping
-        (lm=1e-5, ep=1e-2, damp factor 1.0)."""
-        for _ in range(steps):
-            t0_ = max(1, int(self.ii.min()) + 1) if t0 is None else t0
-            t1_ = int(self.video.counter) if t1 is None else t1
-            self._fused(t0_, t1_, itrs=itrs, use_inactive=False,
-                        EP=EP, motion_only=False, lm=1e-5, ep=1e-2,
-                        damp_fac=1.0)
+        factor_graph.py:310-360): same fused step looped on-device,
+        lighter damping (lm=1e-5, ep=1e-2, damp factor 1.0)."""
+        t0_ = max(1, int(self.ii.min()) + 1) if t0 is None else t0
+        t1_ = int(self.video.counter) if t1 is None else t1
+        self._fused(t0_, t1_, itrs=itrs, use_inactive=False,
+                    EP=EP, motion_only=False, lm=1e-5, ep=1e-2,
+                    damp_fac=1.0, steps=steps)
 
     def _fused(self, t0, t1, itrs, use_inactive, EP, motion_only,
-               lm, ep, damp_fac):
+               lm, ep, damp_fac, steps=1):
         """Host prep (numpy index work only) + ONE device call."""
         v = self.video
         h, w = self.h, self.w
@@ -510,4 +523,4 @@ class FactorGraph:
             update_apply=self.update_apply, agg_apply=self.agg_apply,
             K=K, P=P, PAIRS=PAIRS, S_MAX=v.max_segments,
             segm_filter=v.segm_filter, corr_chunk=self.corr_chunk,
-            EB=EB, iters=itrs, motion_only=motion_only)
+            EB=EB, iters=itrs, motion_only=motion_only, steps=steps)

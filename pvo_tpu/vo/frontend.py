@@ -43,8 +43,8 @@ class Frontend:
             rad=cfg.frontend_radius, nms=cfg.frontend_nms,
             thresh=cfg.frontend_thresh, beta=cfg.beta, remove=True)
 
-        for _ in range(self.iters1):
-            self.graph.update(None, None, use_inactive=True)
+        self.graph.update(None, None, use_inactive=True,
+                          steps=self.iters1)
 
         d = self.video.distance([self.t1 - 3], [self.t1 - 2],
                                 beta=cfg.beta)
@@ -53,8 +53,8 @@ class Frontend:
             self.video.counter -= 1
             self.t1 -= 1
         else:
-            for _ in range(self.iters2):
-                self.graph.update(None, None, use_inactive=True)
+            self.graph.update(None, None, use_inactive=True,
+                              steps=self.iters2)
 
         # seed the next frame's pose/depth (reference
         # droid_frontend.py:64-66)
@@ -68,13 +68,11 @@ class Frontend:
         self.t1 = self.video.counter
 
         self.graph.add_neighborhood_factors(self.t0, self.t1, r=3)
-        for _ in range(8):
-            self.graph.update(1, use_inactive=True)
+        self.graph.update(1, use_inactive=True, steps=8)
 
         self.graph.add_proximity_factors(
             0, 0, rad=2, nms=2, thresh=self.cfg.frontend_thresh)
-        for _ in range(12):
-            self.graph.update(1, use_inactive=True)
+        self.graph.update(1, use_inactive=True, steps=12)
 
         v = self.video
         v.poses = v.poses.at[self.t1].set(v.poses[self.t1 - 1])

@@ -59,8 +59,7 @@ class TrajectoryFiller:
         graph.add_factors(t0, kk)
         graph.add_factors(t1, kk)
 
-        for _ in range(6):
-            graph.update(N, N + M, motion_only=True)
+        graph.update(N, N + M, motion_only=True, steps=6)
 
         out = np.asarray(v.poses[N:N + M])
         v.counter = N
