@@ -121,8 +121,11 @@ def tube_pq_stat(gt_maps, pred_maps, gt_segments, pred_segments,
             else:
                 pred_segs[k] = dict(v)
 
-    comb = vid_gt * OFFSET + vid_pred
-    labels, counts = np.unique(comb, return_counts=True)
+    # intersection-area histogram — the evaluation hot loop; runs in
+    # the native hash-count kernel when available (pvo_tpu.native)
+    from pvo_tpu import native
+    labels, counts = native.pair_counts(
+        vid_gt.astype(np.int64), vid_pred.astype(np.int64), OFFSET)
     gt_pred_map = {(int(l // OFFSET), int(l % OFFSET)): int(c)
                    for l, c in zip(labels, counts)}
 
