@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from pvo_tpu.geom import projective
 from pvo_tpu.vo import losses
 from pvo_tpu.vo.net.droidnet import DroidNet
 
@@ -49,29 +50,94 @@ def make_optimizer(lr=5e-4, total_steps=20000, clip=2.5,
 
 
 def vo_loss_fn(model: DroidNet, params, batch, ii, jj, num_steps,
-               weights: Dict[str, float]):
-    """Supervised-mode loss on one sample (leading dim 1)."""
+               weights: Dict[str, float], mode="sup", ph_loss=True):
+    """Per-sample loss with the reference's mode dispatch
+    (train.py:178-261): sup = geodesic + cam-flow + gt-label (+photo);
+    semisup = cam-photometric + gt-label (+photo); unsup =
+    cam-photometric w/ occlusion vals + self-labeled masks (+photo).
+    Residual loss always applies."""
     out = model.apply(
-        params, batch["poses_init"], batch["images"], batch["disps_init"],
-        batch["intrinsics"], ii, jj, num_steps=num_steps)
+        params, batch["poses_init"], batch["images"],
+        batch["disps_init"], batch["intrinsics"], ii, jj,
+        num_steps=num_steps, ret_flow=ph_loss, downsample=True)
 
-    geo, geo_m = losses.geodesic_loss(batch["poses_gt"], out["poses"],
-                                      ii, jj)
+    w = lambda k, d: weights.get(k, d)
     res, _ = losses.residual_loss(out["residuals"])
-    camf, camf_m = losses.cam_flow_loss(
-        batch["poses_gt"], batch["disps_gt_up"], out["poses"],
-        out["disps_up"], batch["intrinsics_up"])
+    total = w("w2", 0.01) * res
+    metrics = {"res": res}
 
-    total = (weights.get("w1", 40.0) * geo +
-             weights.get("w2", 0.01) * res +
-             weights.get("w3", 0.20) * camf)
-    metrics = {"geo": geo, "res": res, "cam_flow": camf, **geo_m,
-               **camf_m}
+    if mode == "sup":
+        geo, geo_m = losses.geodesic_loss(
+            batch["poses_gt"], out["poses"], ii, jj, do_scale=False)
+        camf, camf_m = losses.cam_flow_loss(
+            batch["poses_gt"], batch["disps_gt_up"], out["poses"],
+            out["disps_up"], batch["intrinsics_up"])
+        gtl, _ = losses.gt_label_loss(
+            batch["gt_masks"], batch["gt_vals"], out["masks_up"], ii)
+        total += (w("w1", 40.0) * geo + w("w3", 0.20) * camf +
+                  w("w9", 0.01) * gtl)
+        metrics.update({"geo": geo, "cam_flow": camf, "gt_l": gtl,
+                        **geo_m, **camf_m})
+
+    elif mode == "semisup":
+        cam_ph, cpm = losses.photo_loss_cam(
+            batch["images"].astype(jnp.float32), out["poses"],
+            out["disps_up"], batch["intrinsics_up"],
+            batch["gt_masks"])
+        gtl, _ = losses.gt_label_loss(
+            batch["gt_masks"], batch["gt_vals"], out["masks_up"], ii)
+        total += w("w10", 100.0) * cam_ph + w("w9", 0.01) * gtl
+        metrics.update({"cam_ph": cam_ph, "gt_l": gtl, **cpm})
+
+    elif mode == "unsup":
+        # occlusion validity masks gate the cam-photometric term
+        rii, rjj = _ring(batch["images"].shape[1])
+        occ = losses.unsup_occ_vals(
+            out["poses"], out["disps_up"], batch["intrinsics_up"],
+            rii, rjj)
+        # unsup_occ_vals yields per-edge masks; photo_loss_cam expects
+        # per-frame masks — scatter-min onto the source frames
+        F = batch["images"].shape[1]
+        per_frame = jnp.ones(
+            (occ.shape[0], F) + occ.shape[2:], occ.dtype)
+        per_frame = per_frame.at[:, rii].min(occ)
+        cam_ph, cpm = losses.photo_loss_cam(
+            batch["images"].astype(jnp.float32), out["poses"],
+            out["disps_up"], batch["intrinsics_up"], per_frame)
+
+        # self-labeled static masks: full flow ~ camera flow at 1/8
+        disps8 = out["disps_up"][-1][:, :, 3::8, 3::8]
+        cam_flow, _ = projective.induced_flow(
+            out["poses"][-1], disps8, batch["intrinsics"], ii, jj)
+        art = losses.self_label_masks(out["flows"][-1], cam_flow)
+        masks8 = [m[:, :, 3::8, 3::8] for m in out["masks_up"]]
+        al, _ = losses.art_label_loss(art, masks8)
+        total += w("w10", 100.0) * cam_ph + w("w6", 0.05) * al
+        metrics.update({"cam_ph": cam_ph, "al": al, **cpm})
+
+    if ph_loss:
+        vals = batch.get("gt_vals")
+        ph, phm = losses.photo_loss_full(
+            batch["images"].astype(jnp.float32), out["flows"], vals,
+            ii, jj, use_ssim=False, downsample=True)
+        total += w("w4", 5.0) * ph
+        metrics.update({"ph": ph, **phm})
+
     return total, metrics
 
 
+def _ring(F):
+    ii, jj = [], []
+    for i in range(F):
+        for j in (i - 1, i + 1):
+            if 0 <= j < F:
+                ii.append(i)
+                jj.append(j)
+    return np.asarray(ii), np.asarray(jj)
+
+
 def make_train_step(model: DroidNet, tx, ii, jj, num_steps=8,
-                    weights=None):
+                    weights=None, mode="sup", ph_loss=True):
     """Build the jitted data-parallel train step.
 
     The returned step expects batch pytrees whose leaves have a leading
@@ -83,7 +149,7 @@ def make_train_step(model: DroidNet, tx, ii, jj, num_steps=8,
 
     def single(params, sample):
         return vo_loss_fn(model, params, sample, ii, jj, num_steps,
-                          weights)
+                          weights, mode=mode, ph_loss=ph_loss)
 
     def step(state: TrainState, batch):
         def batch_loss(params):
@@ -134,6 +200,8 @@ def make_synthetic_batch(n_dev, F=4, H=48, W=64, seed=0):
             (n_dev, 1, F, 1)),
         "intrinsics_up": np.tile(np.array(
             [W, W, W / 2.0, H / 2.0], np.float32), (n_dev, 1, F, 1)),
+        "gt_masks": np.ones((n_dev, 1, F, H, W), np.float32),
+        "gt_vals": np.ones((n_dev, 1, F, H, W), np.float32),
     }
 
 

@@ -182,11 +182,16 @@ def ssim(x, y, max_val=1.0, size=3, sigma=1.5):
     return num / den
 
 
-def bilinear_sample(img, coords):
-    """Sample (B, H, W, C) at coords (B, H, W, 2) [x, y]; zero pad
-    out of bounds (grid_sample zeros semantics)."""
+def bilinear_sample(img, coords, pad_mode="zeros"):
+    """Sample (B, H, W, C) at coords (B, H, W, 2) [x, y].
+
+    pad_mode 'zeros' or 'border' (torch grid_sample semantics with
+    align_corners=True when coords are pixel coordinates)."""
     B, H, W, C = img.shape
     x, y = coords[..., 0], coords[..., 1]
+    if pad_mode == "border":
+        x = jnp.clip(x, 0, W - 1)
+        y = jnp.clip(y, 0, H - 1)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx, fy = x - x0, y - y0
@@ -199,6 +204,8 @@ def bilinear_sample(img, coords):
         idx = (yc * W + xc).reshape(B, -1)
         out = jnp.take_along_axis(flat, idx[..., None], axis=1)
         out = out.reshape(B, H, W, C)
+        if pad_mode == "border":
+            return out
         return out * inb[..., None].astype(img.dtype)
 
     w00 = ((1 - fy) * (1 - fx))[..., None]
@@ -207,6 +214,113 @@ def bilinear_sample(img, coords):
     w11 = (fy * fx)[..., None]
     return (w00 * gather(y0, x0) + w01 * gather(y0, x0 + 1) +
             w10 * gather(y0 + 1, x0) + w11 * gather(y0 + 1, x0 + 1))
+
+
+def _reprojection_error(img0, warped, use_ssim):
+    """0.85 SSIM + 0.15 L1 when use_ssim, else L1 (reference
+    compute_reprojection_loss)."""
+    l1 = jnp.abs(warped - img0)
+    if not use_ssim:
+        return l1
+    s = ssim(warped, img0)
+    return 0.85 * (1 - s) / 2 + 0.15 * l1
+
+
+def photo_loss_full(images, full_flows, vals, ii, jj, gamma=GAMMA,
+                    use_ssim=False, aff_params=None, downsample=True):
+    """Photometric loss along the FULL (camera+dynamic) flow
+    (reference losses.py:151-211).
+
+    images: (B, F, H, W, 3) in [0, 255]; full_flows: per-step
+    (B, N, h, w, 2) at 1/8 res when downsample; vals: (B, F, H, W)
+    validity (e.g. GT mask validity) or None.
+    """
+    ii = np.asarray(ii)
+    jj = np.asarray(jj)
+    if downsample:
+        images = images[:, :, 3::8, 3::8]
+        if vals is not None:
+            vals = vals[:, :, 3::8, 3::8]
+    B, F, ht, wd, C = images.shape
+    img0 = images[:, ii].reshape(-1, ht, wd, C) / 255.0
+    img1 = images[:, jj].reshape(-1, ht, wd, C) / 255.0
+    v_all = (vals[:, ii].reshape(-1, ht, wd) if vals is not None
+             else jnp.ones((img0.shape[0], ht, wd)))
+    grid = projective.coords_grid(ht, wd)
+
+    total = 0.0
+    n = len(full_flows)
+    for i, w in enumerate(_step_weights(n, gamma)):
+        coords = (grid + full_flows[i]).reshape(-1, ht, wd, 2)
+        inb = ((coords[..., 0] >= 0) & (coords[..., 0] <= wd - 1) &
+               (coords[..., 1] >= 0) & (coords[..., 1] <= ht - 1))
+        val_pix = inb.astype(jnp.float32) * v_all
+        warped = bilinear_sample(img1, coords, pad_mode="border")
+        if aff_params is not None:
+            a = aff_params[i][..., 0].reshape(-1, 1, 1, 1)
+            b = (aff_params[i][..., 1] - 0.5).reshape(-1, 1, 1, 1)
+            warped = warped * a + b
+        diff = _reprojection_error(img0, warped, use_ssim)
+        p_e = jnp.mean(diff * val_pix[..., None])
+        total += w * p_e
+    return total, {"ph_error": p_e}
+
+
+def photo_loss_cam(images, poses_list, disps_list, intrinsics,
+                   static_masks, gamma=GAMMA, use_ssim=True):
+    """Photometric loss along the CAMERA-induced flow over the ring
+    graph, masked to static pixels (reference losses.py:214-265).
+
+    images (B,F,H,W,3) 0..255 FULL res; disps_list entries full-res;
+    static_masks (B,F,H,W) 1=static.
+    """
+    B, F, H, W, C = images.shape
+    ii, jj = [], []
+    for i in range(F):
+        for j in (i - 1, i + 1):
+            if 0 <= j < F:
+                ii.append(i)
+                jj.append(j)
+    ii, jj = np.asarray(ii), np.asarray(jj)
+
+    img0 = images[:, ii].reshape(-1, H, W, C) / 255.0
+    img1 = images[:, jj].reshape(-1, H, W, C) / 255.0
+    m_all = static_masks[:, ii].reshape(-1, H, W)
+
+    total = 0.0
+    n = len(poses_list)
+    for i, w in enumerate(_step_weights(n, gamma)):
+        coords, val0 = projective.projective_transform(
+            poses_list[i], disps_list[i], intrinsics, ii, jj)
+        coords = coords.reshape(-1, H, W, 2)
+        inb = ((coords[..., 0] >= 0) & (coords[..., 0] <= W - 1) &
+               (coords[..., 1] >= 0) & (coords[..., 1] <= H - 1))
+        val_pix = (inb.astype(jnp.float32) *
+                   val0.reshape(-1, H, W) * m_all)
+        warped = bilinear_sample(img1, coords, pad_mode="border")
+        diff = _reprojection_error(img0, warped, use_ssim)
+        p_e = jnp.mean(diff * val_pix[..., None])
+        total += w * p_e
+    return total, {"ph_cam_error": p_e}
+
+
+def unsup_occ_vals(poses_list, disps_list, intrinsics, ii, jj,
+                   thresh=0.15):
+    """Occlusion validity from projected-depth consistency (reference
+    losses.py:268-320, simplified to the final-step estimate): a pixel
+    is valid if its depth reprojected into frame jj agrees with frame
+    jj's own depth."""
+    poses, disps = poses_list[-1], disps_list[-1]
+    coords, valid = projective.projective_transform(
+        poses, disps, intrinsics, ii, jj, return_depth=True)
+    d_proj = coords[..., 2]
+    B, N, H, W = d_proj.shape
+    d_obs = bilinear_sample(
+        disps[:, jj].reshape(-1, H, W, 1),
+        coords[..., :2].reshape(-1, H, W, 2),
+        pad_mode="border").reshape(B, N, H, W)
+    rel = jnp.abs(d_proj - d_obs) / jnp.maximum(d_obs, 1e-3)
+    return (rel < thresh).astype(jnp.float32) * valid[..., 0]
 
 
 def photo_loss(images_pairs, full_flows, use_ssim=True, gamma=GAMMA,
@@ -241,19 +355,36 @@ def photo_loss(images_pairs, full_flows, use_ssim=True, gamma=GAMMA,
 # ---------------- dynamic-mask labels ----------------
 
 
-def gt_label_loss(mask_logits_list, gt_static_masks, gamma=GAMMA):
-    """BCE between mask head logits and GT static masks
-    (losses.py:505-533). gt_static_masks: (B, N, H, W) in {0,1}
-    (1 = static)."""
+def gt_label_loss(gt_masks, gt_vals, mask_probs_list, ii, gamma=GAMMA):
+    """BCE between mask-head probabilities and GT static masks
+    (losses.py:505-533).
+
+    gt_masks/gt_vals: (B, F, H, W); mask_probs_list: per-step
+    (B, N, H, W, 2) probabilities aligned with edge sources ``ii``.
+    """
+    ii = np.asarray(ii)
+    y = gt_masks[:, ii][..., None]
+    v = gt_vals[:, ii][..., None]
     total = 0.0
-    for m, w in zip(mask_logits_list,
-                    _step_weights(len(mask_logits_list), gamma)):
-        # m: (B, N, H, W, 2) probabilities in (0,1)
+    for m, w in zip(mask_probs_list,
+                    _step_weights(len(mask_probs_list), gamma)):
         p = jnp.clip(m, 1e-6, 1 - 1e-6)
-        y = gt_static_masks[..., None]
+        bce = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p)) * v
+        total += w * jnp.sum(bce) / jnp.maximum(jnp.sum(v), 1.0)
+    return total, {"mask_bce": total}
+
+
+def art_label_loss(art_masks, mask_probs_list, gamma=GAMMA):
+    """BCE against self-supervised static labels (losses.py:473-503).
+    art_masks: (B, N, H, W) from self_label_masks."""
+    y = art_masks[..., None]
+    total = 0.0
+    for m, w in zip(mask_probs_list,
+                    _step_weights(len(mask_probs_list), gamma)):
+        p = jnp.clip(m, 1e-6, 1 - 1e-6)
         bce = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
         total += w * jnp.mean(bce)
-    return total, {"mask_bce": total}
+    return total, {"al_bce": total}
 
 
 def self_label_masks(full_flow, cam_flow, thresh=0.5):
