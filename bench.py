@@ -62,11 +62,17 @@ def main():
 
     jax.block_until_ready(sysm.video.poses)
 
+    import sys
+    per_frame = []
     t0 = time.perf_counter()
     for (t, img, intr, segm) in frames[n_warm:]:
+        f0 = time.perf_counter()
         sysm.track(t, img, intr, segments=segm)
-    jax.block_until_ready(sysm.video.poses)
+        jax.block_until_ready(sysm.video.poses)
+        per_frame.append(time.perf_counter() - f0)
     dt = time.perf_counter() - t0
+    print("per-frame times:",
+          " ".join(f"{x:.2f}" for x in per_frame), file=sys.stderr)
 
     fps = n_meas / dt
     print(json.dumps({

@@ -44,6 +44,20 @@ def _bucket(n, buckets):
     raise ValueError(f"size {n} exceeds largest bucket {buckets[-1]}")
 
 
+import functools as _ft
+import os
+
+
+@_ft.lru_cache(None)
+def _use_pallas_corr():
+    """Pallas fused corr on TPU (21x over the XLA gather path);
+    override with PVO_PALLAS_CORR=0/1."""
+    env = os.environ.get("PVO_PALLAS_CORR")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
                  net, target_cam, raw_mask, delta_dy,
                  ii, jj, valid, w0, seg_thresh,
@@ -74,8 +88,12 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
     ], axis=-1)
     motn = jnp.clip(motn, -64.0, 64.0)
 
-    corr = corr_ops.chunked_corr_lookup(
-        fmaps, ii, jj, coords1, chunk=corr_chunk)
+    if _use_pallas_corr():
+        from pvo_tpu.vo.net.pallas_corr import pallas_corr_lookup
+        corr = pallas_corr_lookup(fmaps[ii], fmaps[jj], coords1)
+    else:
+        corr = corr_ops.chunked_corr_lookup(
+            fmaps, ii, jj, coords1, chunk=corr_chunk)
 
     inp = inps[ii].astype(jnp.float32)
     out = update_apply(p_update, net.astype(jnp.float32), inp,

@@ -45,9 +45,14 @@ def _probe_motion(params, fmap_prev, gmap, net, inp, update_apply):
     (reference motion_filter.py:72-80)."""
     h, w = gmap.shape[:2]
     coords0 = projective.coords_grid(h, w)[None]
-    corr = corr_ops.corr_and_lookup(
-        fmap_prev[None].astype(jnp.float32),
-        gmap[None].astype(jnp.float32), coords0)
+    from pvo_tpu.vo.factor_graph import _use_pallas_corr
+    if _use_pallas_corr():
+        from pvo_tpu.vo.net.pallas_corr import pallas_corr_lookup
+        corr = pallas_corr_lookup(fmap_prev[None], gmap[None], coords0)
+    else:
+        corr = corr_ops.corr_and_lookup(
+            fmap_prev[None].astype(jnp.float32),
+            gmap[None].astype(jnp.float32), coords0)
     motion = jnp.zeros((1, h, w, 8), jnp.float32)
     out = update_apply(params, net[None].astype(jnp.float32),
                        inp[None].astype(jnp.float32), corr, motion)

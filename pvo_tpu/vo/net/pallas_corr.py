@@ -68,15 +68,17 @@ def _kernel(f1_ref, c_ref, *refs, shapes, blk):
     lvl_refs = refs[:n_lvl]
     out_ref = refs[n_lvl]
 
-    f1 = f1_ref[0].astype(jnp.float32) * 0.25         # (BLK, C)
+    f1 = f1_ref[0] * jnp.asarray(0.25, f1_ref.dtype)  # (BLK, C)
     coords = c_ref[0].astype(jnp.float32)             # (BLK, 2)
 
     offs = 0
     for l, (H_l, W_l) in enumerate(shapes):
-        f2 = lvl_refs[l][0].astype(jnp.float32) * 0.25  # (H_l, LANE, C)
+        f2 = lvl_refs[l][0] * jnp.asarray(
+            0.25, lvl_refs[l].dtype)                  # (H_l, LANE, C)
         C = f2.shape[-1]
 
-        # MXU: all-pairs correlation rows for this block
+        # MXU: all-pairs correlation rows for this block (bf16 inputs
+        # accumulate in fp32)
         corr = jax.lax.dot_general(
             f1, f2.reshape(H_l * LANE, C),
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -119,8 +121,10 @@ def _kernel(f1_ref, c_ref, *refs, shapes, blk):
         out = ((1 - fy) * (1 - fx) * p00 + (1 - fy) * fx * p01 +
                fy * (1 - fx) * p10 + fy * fx * p11)
 
-        out_ref[0, :, offs:offs + WIN * WIN] = out.reshape(
-            blk, WIN * WIN)
+        # write row-by-row: Mosaic cannot shape-cast (blk,7,7)->(blk,49)
+        for dy in range(WIN):
+            out_ref[0, :, offs + dy * WIN: offs + (dy + 1) * WIN] = \
+                out[:, dy, :]
         offs += WIN * WIN
 
 

@@ -59,7 +59,10 @@ def rpn_loss(anchors, obj_logits, deltas, gt_boxes, gt_valid,
     neg = (labels == 0).astype(jnp.float32)
 
     tgt = ops.encode_boxes(anchors, gt_boxes[matched])
-    loc = jnp.sum(pos[:, None] * smooth_l1(deltas - tgt)) / norm_count
+    # where (not multiply): degenerate matches give inf targets and
+    # 0 * inf = NaN would poison the sum
+    loc = jnp.sum(jnp.where(pos[:, None] > 0,
+                            smooth_l1(deltas - tgt), 0.0)) / norm_count
 
     logp = jax.nn.log_sigmoid(obj_logits)
     logn = jax.nn.log_sigmoid(-obj_logits)
@@ -90,7 +93,8 @@ def fast_rcnn_loss(proposals, prop_valid, scores, deltas, gt_boxes,
     d_sel = jnp.take_along_axis(
         d, jnp.clip(tgt_cls, 0, num_classes - 1)[:, None, None]
         .repeat(4, -1), axis=1)[:, 0]
-    loc = jnp.sum(fg[:, None] * smooth_l1(d_sel - tgt_deltas)) / \
+    loc = jnp.sum(jnp.where(fg[:, None],
+                            smooth_l1(d_sel - tgt_deltas), 0.0)) / \
         jnp.maximum(jnp.sum(prop_valid), 1)
     return ce, loc, fg, best_gt
 

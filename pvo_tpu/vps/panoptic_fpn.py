@@ -89,6 +89,10 @@ class PanopticFPN(nn.Module):
         feats = self.features(images_bgr)
         if feats_warp is not None:
             feats = self.fuse(feats, feats_warp)
+        elif self.is_initializing():
+            # touch the fusion conv so its params exist even when
+            # initialized through the plain path
+            self.fuse(feats, feats)
         return self.heads(feats, (H, W), max_dets=max_dets)
 
 

@@ -3,7 +3,12 @@ measures Panoptic FPN inference frames/sec (plain and fusion modes) on
 the available accelerator.
 """
 
-from __future__ import annotations
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
+
 
 import argparse
 import json

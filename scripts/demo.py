@@ -4,7 +4,12 @@ Runs the VO system over a directory of images with a calibration file,
 prints the trajectory, and optionally dumps a filtered point cloud.
 """
 
-from __future__ import annotations
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
+
 
 import argparse
 import glob

@@ -6,7 +6,12 @@ writes per-scene id2rgb PNGs into datasets/.../panFPN_segm/ for the VO
 segment filter.
 """
 
-from __future__ import annotations
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
+
 
 import argparse
 import glob

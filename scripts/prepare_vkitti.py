@@ -9,7 +9,12 @@ produce per scene+view:
   * split_511.json   — the 5:1:1 train/val/test frame split
 """
 
-from __future__ import annotations
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
+
 
 import argparse
 import glob

@@ -7,7 +7,12 @@ fills non-keyframe poses, writes shared_data/traj/<scene>/15-deg-left/
 pvo_traj.txt, and reports ATE-RMSE vs extrinsic.txt with Sim3 alignment.
 """
 
-from __future__ import annotations
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
+
 
 import argparse
 import glob

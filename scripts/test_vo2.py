@@ -5,7 +5,12 @@ save per-frame full flow (.npy, resized to 375x1242) and 1/8-res
 disparity (.npy) into shared_data/ for the VPS fusion stage.
 """
 
-from __future__ import annotations
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
+
 
 import argparse
 import glob

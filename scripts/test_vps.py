@@ -7,7 +7,12 @@ propagate instance ids (tracking + matching), and evaluate VPQ over
 windows {1, 5, 10, 15, 20} against the GT panoptic maps.
 """
 
-from __future__ import annotations
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
+
 
 import argparse
 import glob

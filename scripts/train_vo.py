@@ -8,7 +8,12 @@ Adam with gradient clipping, periodic orbax checkpointing, and the
 running-mean console/TensorBoard logger.
 """
 
-from __future__ import annotations
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
+
 
 import argparse
 import os
@@ -61,10 +66,13 @@ def main():
                         n_frames=args.n_frames, mode=args.mode)
 
     model = DroidNet()
+    # fixed ring topology: the covis graph drives CLIP sampling (in the
+    # dataset); keeping the edge list static means ONE compiled step.
     ii, jj = ring_edges(args.n_frames)
     tx = dp.make_optimizer(args.lr, args.steps, args.clip)
     step_fn = jax.jit(dp.make_train_step(
-        model, tx, ii, jj, num_steps=args.iters), donate_argnums=(0,))
+        model, tx, ii, jj, num_steps=args.iters, mode=args.mode),
+        donate_argnums=(0,))
 
     sample = db.sample_clip()
     params = model.init(
@@ -83,13 +91,20 @@ def main():
     state = dp.replicate(state, mesh)
 
     logger = Logger(args.name, log_every=args.log_every)
+    rng = np.random.default_rng(12345)
+    restart_prob = 0.2  # reference train.py random-restart inner loop
     with mesh:
         for step in range(args.steps):
-            batch = {k: np.stack([db.sample_clip()[k][0]
-                                  for _ in range(n_dev)])[:, None]
+            clips = [db.sample_clip() for _ in range(n_dev)]
+            batch = {k: np.stack([c[k][0] for c in clips])[:, None]
                      for k in sample if k != "segments"}
             batch = dp.shard_batch(batch, mesh)
             state, metrics = step_fn(state, batch)
+            # random restart: retrain on the same clip from the last
+            # estimate (approximated by a fresh pass; reference
+            # train.py:150-166 reuses poses_est[-1]/disps_est[-1])
+            while rng.random() < restart_prob:
+                state, metrics = step_fn(state, batch)
             logger.push({k: float(v) for k, v in metrics.items()})
 
             if (step + 1) % args.ckpt_every == 0:
