@@ -95,9 +95,13 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
         corr = corr_ops.chunked_corr_lookup(
             fmaps, ii, jj, coords1, chunk=corr_chunk)
 
-    inp = inps[ii].astype(jnp.float32)
-    out = update_apply(p_update, net.astype(jnp.float32), inp,
-                       corr.astype(jnp.float32), motn)
+    # compute dtype follows the update-op params (bf16 on TPU mirrors
+    # the reference's fp16 autocast, motion_filter.py:34)
+    cdt = jax.tree.leaves(p_update)[0].dtype
+    inp = inps[ii].astype(cdt)
+    out = update_apply(p_update, net.astype(cdt), inp,
+                       corr.astype(cdt), motn.astype(cdt))
+    out = {k: v.astype(jnp.float32) for k, v in out.items()}
     new_net = out["net"]
 
     raw_mask = raw_mask + out["delta_mask"]
@@ -215,13 +219,14 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, inps, segms,
 class FactorGraph:
     def __init__(self, video, update_module, agg_module, params,
                  max_edges=96, max_inactive=96, corr_chunk=16,
-                 edge_buckets=None,
+                 max_factors=-1, edge_buckets=None,
                  pose_buckets=(32, 64, 128, 256, 512),
                  pair_buckets=(512, 2048, 8192, 32768, 131072)):
         self.video = video
         self.params = params
         self.max_edges = max_edges
         self.max_inactive = max_inactive
+        self.max_factors = max_factors  # reference active-edge cap
         self.corr_chunk = corr_chunk
         if edge_buckets is None:
             edge_buckets = tuple(sorted({32, 64, max_edges}))
@@ -279,8 +284,18 @@ class FactorGraph:
         if len(ii) == 0:
             return
 
-        # enforce capacity: evict oldest (store as inactive). The
-        # reference graph grows unboundedly when remove=False; with
+        # active-edge cap (reference factor_graph.py:122-127): when
+        # removing, retire oldest edges to stay under max_factors
+        if remove and self.max_factors > 0:
+            over = self.n_edges + len(ii) - self.max_factors
+            if over > 0:
+                order = np.argsort(-self.age)
+                drop = np.zeros(self.n_edges, bool)
+                drop[order[:over]] = True
+                self.rm_factors(drop, store=True)
+
+        # enforce buffer capacity: evict oldest (store as inactive).
+        # The reference graph grows unboundedly when remove=False; with
         # static buffers we instead retire the oldest edges to the
         # inactive store (they still participate in BA via
         # use_inactive), which degrades gracefully.

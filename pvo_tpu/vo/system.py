@@ -72,8 +72,19 @@ class VOSystem:
             params = init_params(self.modules, self.cfg.image_size)
         self.params = params
 
-        graph_params = {"update": params["update"],
-                        "agg": params["agg"]}
+        # bf16 compute for the recurrent operator on accelerators
+        # (the reference runs it under fp16 autocast); geometry/BA
+        # stays fp32
+        if self.cfg.dtype_features == "bfloat16" and \
+                jax.default_backend() != "cpu":
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if
+                hasattr(x, "astype") else x, t)
+            graph_params = {"update": cast(params["update"]),
+                            "agg": cast(params["agg"])}
+        else:
+            graph_params = {"update": params["update"],
+                            "agg": params["agg"]}
 
         self.video = DepthVideo(
             image_size=self.cfg.image_size, buffer=self.cfg.buffer,
@@ -83,13 +94,15 @@ class VOSystem:
         self.filterx = MotionFilter(self.modules, params, self.video,
                                     thresh=self.cfg.filter_thresh)
 
-        # single edge bucket: one compiled signature for the whole run
-        # (padding waste is cheaper than recompiles on live streams)
+        # two edge buckets: the steady-state window fits 64 edges (the
+        # reference frontend caps at 48); the big bucket only serves
+        # initialization bursts
         graph = FactorGraph(
             self.video, self.modules["update"], self.modules["agg"],
             graph_params, max_edges=self.cfg.max_edges,
             max_inactive=self.cfg.max_inactive,
-            edge_buckets=(self.cfg.max_edges,))
+            max_factors=48,  # reference droid_frontend.py:14
+            edge_buckets=tuple(sorted({64, self.cfg.max_edges})))
         self.frontend = Frontend(graph, self.video, self.cfg)
         self.backend = Backend(self.video, self.cfg,
                                self.modules["update"],
