@@ -68,10 +68,10 @@ def main():
     for (t, img, intr, segm) in frames[n_warm:]:
         f0 = time.perf_counter()
         sysm.track(t, img, intr, segments=segm)
-        jax.block_until_ready(sysm.video.poses)
         per_frame.append(time.perf_counter() - f0)
+    jax.block_until_ready(sysm.video.poses)
     dt = time.perf_counter() - t0
-    print("per-frame times:",
+    print("per-frame times (async):",
           " ".join(f"{x:.2f}" for x in per_frame), file=sys.stderr)
 
     fps = n_meas / dt
