@@ -42,11 +42,12 @@ def test_fusion_step_only_moves_fusion_conv():
         "gt_valid": jnp.asarray([True, True, False, False]),
         "sem_labels": jnp.ones((1, H, W), jnp.int32) * 3,
     }
+    params_before = jax.device_get(params)  # step donates its state
     new_state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
 
     # only fusion_conv1 changed
-    flat_old = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_old = jax.tree_util.tree_flatten_with_path(params_before)[0]
     flat_new = jax.tree_util.tree_flatten_with_path(new_state.params)[0]
     for (path, old), (_, new) in zip(flat_old, flat_new):
         names = [getattr(p, "key", "") for p in path]
