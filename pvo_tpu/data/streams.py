@@ -100,10 +100,12 @@ def dataset_factory(names, **kwargs):
         if name == "vkitti2":
             from .vkitti2 import VKitti2Dataset
             datasets.append(VKitti2Dataset(**kwargs))
-        elif name in ("tartan", "replica"):
-            raise NotImplementedError(
-                f"{name} reader pending: layout-compatible with "
-                "VKitti2Dataset; contribute the path conventions")
+        elif name == "tartan":
+            from .tartan import TartanAirDataset
+            datasets.append(TartanAirDataset(**kwargs))
+        elif name == "replica":
+            from .tartan import ReplicaDataset
+            datasets.append(ReplicaDataset(**kwargs))
         else:
             raise ValueError(f"unknown dataset {name}")
     if len(datasets) == 1:

@@ -56,7 +56,8 @@ class VKitti2Dataset:
 
         os.makedirs(cache_dir, exist_ok=True)
         cache = osp.join(
-            cache_dir, f"vkitti2_{split_mode}_{aug_graph}.pickle")
+            cache_dir,
+            f"{type(self).__name__}_{split_mode}_{aug_graph}.pickle")
         if osp.exists(cache):
             with open(cache, "rb") as f:
                 self.scene_info = pickle.load(f)
@@ -165,6 +166,20 @@ class VKitti2Dataset:
             segments = [self._read_segment(info["segments"][i])
                         for i in inds]
 
+        flows = None
+        if self.flow_label and info.get("fo_flows"):
+            flows = {}
+            for key_, field in (("fo", "fo_flows"), ("ba", "ba_flows")):
+                fl, vl = [], []
+                for i in inds[:-1]:
+                    raw = cv2.imread(
+                        info[field][i],
+                        cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+                    f, v = io_utils.decode_vkitti_flow(raw)
+                    fl.append(f)
+                    vl.append(v)
+                flows[key_] = (np.stack(fl), np.stack(vl))
+
         images, depths, intr, segs8 = augmentation.augment_clip(
             images, depths, intr, self.crop_size, self.rng,
             segments=segments)
@@ -193,6 +208,17 @@ class VKitti2Dataset:
         out["disps_gt_up"] = disps[None].astype(np.float32)
         if segs8 is not None:
             out["segments"] = segs8[None]
+        if flows is not None:
+            # note: GT flows are at the ORIGINAL resolution; the crop
+            # transform doesn't apply cleanly to sparse flow, so
+            # flow_label clips skip augmentation cropping in the
+            # reference too (sparse resize, augmentation.py:21-55)
+            out["fo_flows"] = np.concatenate(
+                [flows["fo"][0], flows["fo"][1][..., None]],
+                -1)[None].astype(np.float32)
+            out["ba_flows"] = np.concatenate(
+                [flows["ba"][0], flows["ba"][1][..., None]],
+                -1)[None].astype(np.float32)
         return out
 
     def build_motion_masks(self, poses, disps, intrinsics, gt_flows,

@@ -58,6 +58,33 @@ def _use_pallas_corr():
     return jax.default_backend() == "tpu"
 
 
+def segment_vote_filter(bin_mask, segm_e, valid, S_MAX, seg_thresh):
+    """On-device dynamic-segment vote (replaces the reference's numpy
+    unique/count host loop, factor_graph.py:256-276): a panoptic
+    segment whose dynamic-pixel fraction exceeds ``seg_thresh`` is
+    forced fully dynamic. Segment id 0 ('no segment') is never voted.
+
+    bin_mask: (E, h, w, 2) bool static-mask; segm_e: (E, h, w) local
+    segment ids in [0, S_MAX); valid: (E,) edge mask.
+    """
+    E = bin_mask.shape[0]
+    dyn = (~bin_mask[..., 0]) | (~bin_mask[..., 1])
+    key = (jnp.arange(E, dtype=jnp.int32)[:, None, None] * S_MAX +
+           segm_e)
+    key = jnp.where(valid[:, None, None], key, E * S_MAX)
+    flat = key.reshape(-1)
+    tot = jax.ops.segment_sum(jnp.ones_like(flat, jnp.float32),
+                              flat, num_segments=E * S_MAX + 1)
+    dyn_cnt = jax.ops.segment_sum(
+        dyn.reshape(-1).astype(jnp.float32), flat,
+        num_segments=E * S_MAX + 1)
+    ratio = dyn_cnt / jnp.maximum(tot, 1.0)
+    killed = (ratio > seg_thresh)                       # (E*S+1,)
+    killed = killed.at[jnp.arange(E) * S_MAX].set(False)  # seg id 0
+    kill_pix = killed[key]                              # (E,h,w)
+    return bin_mask & (~kill_pix)[..., None]
+
+
 def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
                  net, target_cam, raw_mask, delta_dy,
                  ii, jj, valid, w0, seg_thresh,
@@ -108,26 +135,8 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
     bin_mask = (jax.nn.sigmoid(raw_mask) >= DY_THRESH)
 
     if segm_filter:
-        # on-device dynamic-segment vote (replaces the reference's
-        # numpy unique/count loop): a segment whose dynamic-pixel
-        # fraction exceeds seg_thresh is forced fully dynamic.
-        segm_e = segms[ii]                                  # (E,h,w)
-        dyn = (~bin_mask[..., 0]) | (~bin_mask[..., 1])
-        key = (jnp.arange(E, dtype=jnp.int32)[:, None, None] * S_MAX +
-               segm_e)
-        key = jnp.where(valid[:, None, None], key, E * S_MAX)
-        flat = key.reshape(-1)
-        tot = jax.ops.segment_sum(jnp.ones_like(flat, jnp.float32),
-                                  flat, num_segments=E * S_MAX + 1)
-        dyn_cnt = jax.ops.segment_sum(
-            dyn.reshape(-1).astype(jnp.float32), flat,
-            num_segments=E * S_MAX + 1)
-        ratio = dyn_cnt / jnp.maximum(tot, 1.0)
-        killed = (ratio > seg_thresh)                       # (E*S+1,)
-        killed = killed.at[jnp.arange(E) * S_MAX].set(False)  # seg id 0
-        kill_pix = killed[key]                              # (E,h,w)
-        keep = ~kill_pix
-        bin_mask = bin_mask & keep[..., None]
+        bin_mask = segment_vote_filter(bin_mask, segms[ii], valid,
+                                       S_MAX, seg_thresh)
 
     bin_mask = bin_mask.astype(jnp.float32)
     new_target = coords1 + out["delta"]

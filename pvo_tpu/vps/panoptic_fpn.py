@@ -254,6 +254,7 @@ class PanopticPredictor:
             lambda p, x: self.model.apply(p, x, method="features"))
         self._video_id = None
         self._prev = None  # (feats, image)
+        self.combine_kwargs = {}
 
     def __call__(self, image_bgr, video_id=None, flow=None, depth=None):
         """image_bgr: (H, W, 3) float/uint8 BGR. Returns
@@ -276,5 +277,6 @@ class PanopticPredictor:
 
         sem = np.asarray(jnp.argmax(sem_logits[0], axis=-1))
         dets_np = {k: np.asarray(v) for k, v in dets.items()}
-        pan, segs = combine_panoptic(dets_np, sem)
+        pan, segs = combine_panoptic(dets_np, sem,
+                                     **self.combine_kwargs)
         return pan, segs, sem, dets_np
