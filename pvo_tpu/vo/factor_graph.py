@@ -163,14 +163,15 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
     static_argnames=("update_apply", "agg_apply", "K", "P", "PAIRS",
                      "S_MAX", "segm_filter", "corr_chunk", "EB",
                      "iters", "motion_only", "steps"))
-def _fused_step(params, poses, disps, intrinsics, fmaps, inps, segms,
-                damping,
+def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
+                inps, segms, damping,
                 net_full, target_full, weight_full, raw_full, dy_full,
                 flow_full,
-                ii_r, jj_r, valid_r,
+                ii_r, jj_r, valid_r, fresh_mask,
                 extra_target, extra_weight, ii_ba, jj_ba, valid_ba,
                 pairs_a, pairs_b, pairs_valid,
                 w0, t0, t1, seg_thresh, damp_fac, EP, lm, ep,
+                dist_i, dist_j, beta,
                 update_apply, agg_apply, K, P, PAIRS, S_MAX,
                 segm_filter, corr_chunk, EB, iters, motion_only,
                 steps=1):
@@ -179,8 +180,34 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, inps, segms,
     fused DBA over the active (+inactive) edge set, looped on-device.
     Buffers are donated, so per-keyframe host<->device traffic is a
     handful of small index arrays — the latency fix for driving a
-    remote TPU."""
+    remote TPU. Fresh edges (just added on the host) are initialized
+    in-kernel: target <- reprojection, state <- zeros, hidden <-
+    video nets (what the reference's add_factors did with separate
+    device ops, factor_graph.py:129-157). The returned distance is the
+    post-BA bidirectional frame distance for (dist_i, dist_j) — the
+    keyframe-removal probe, saving one device round-trip."""
     F = poses.shape[0]
+    h, w = disps.shape[-2:]
+
+    # -------- fresh-edge initialization --------
+    intr_b = jnp.broadcast_to(intrinsics, (1, F, 4))
+    coords_new, _ = projective.projective_transform(
+        poses[None], disps[None], intr_b, ii_r, jj_r)
+    fm = fresh_mask[:, None, None, None]
+    target_full = target_full.at[:EB].set(
+        jnp.where(fm, coords_new[0], target_full[:EB]))
+    zero2 = jnp.zeros((EB, h, w, 2), jnp.float32)
+    weight_full = weight_full.at[:EB].set(
+        jnp.where(fm, zero2, weight_full[:EB]))
+    raw_full = raw_full.at[:EB].set(
+        jnp.where(fm, zero2, raw_full[:EB]))
+    dy_full = dy_full.at[:EB].set(
+        jnp.where(fm, zero2, dy_full[:EB]))
+    flow_full = flow_full.at[:EB].set(
+        jnp.where(fm, zero2, flow_full[:EB]))
+    net_full = net_full.at[:EB].set(
+        jnp.where(fm, nets_buf[ii_r].astype(jnp.float32),
+                  net_full[:EB]))
 
     def one_step(_, carry):
         (poses, disps, damping, net_full, target_full, weight_full,
@@ -222,17 +249,26 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, inps, segms,
 
     carry = (poses, disps, damping, net_full, target_full, weight_full,
              raw_full, dy_full, flow_full)
-    return jax.lax.fori_loop(0, steps, one_step, carry)
+    carry = jax.lax.fori_loop(0, steps, one_step, carry)
+
+    # post-BA keyframe-distance probe (frontend removal decision)
+    from pvo_tpu.geom.distance import frame_distance
+    d1 = frame_distance(carry[0], carry[1], intrinsics, dist_i, dist_j,
+                        beta)
+    d2 = frame_distance(carry[0], carry[1], intrinsics, dist_j, dist_i,
+                        beta)
+    return carry + (0.5 * (d1 + d2),)
 
 
 class FactorGraph:
     def __init__(self, video, update_module, agg_module, params,
                  max_edges=96, max_inactive=96, corr_chunk=16,
-                 max_factors=-1, edge_buckets=None,
+                 max_factors=-1, edge_buckets=None, beta=0.3,
                  pose_buckets=(32, 64, 128, 256, 512),
                  pair_buckets=(512, 2048, 8192, 32768, 131072)):
         self.video = video
         self.params = params
+        self.beta = beta
         self.max_edges = max_edges
         self.max_inactive = max_inactive
         self.max_factors = max_factors  # reference active-edge cap
@@ -272,6 +308,10 @@ class FactorGraph:
         MI = max_inactive
         self.target_inac = jnp.zeros((MI, h, w, 2), jnp.float32)
         self.weight_inac = jnp.zeros((MI, h, w, 2), jnp.float32)
+
+        # host mark: edge rows added since the last fused step; their
+        # device state is initialized inside the next _fused_step
+        self.fresh = np.zeros(0, bool)
 
     # ---------------- host topology ops ----------------
 
@@ -315,21 +355,12 @@ class FactorGraph:
             drop[order[:overflow]] = True
             self.rm_factors(drop, store=True)
 
-        n0 = self.n_edges
-        sl = slice(n0, n0 + len(ii))
-
-        target, _ = self.video.reproject(ii, jj)
-        self.target_cam = self.target_cam.at[sl].set(target[0])
-        self.weight = self.weight.at[sl].set(0.0)
-        self.raw_mask = self.raw_mask.at[sl].set(0.0)
-        self.delta_dy = self.delta_dy.at[sl].set(0.0)
-        self.full_flow = self.full_flow.at[sl].set(0.0)
-        self.net = self.net.at[sl].set(
-            self.video.nets[jnp.asarray(ii)].astype(jnp.float32))
-
+        # device-state initialization happens inside the next
+        # _fused_step (fresh_mask) — adding edges is pure host work
         self.ii = np.concatenate([self.ii, ii])
         self.jj = np.concatenate([self.jj, jj])
         self.age = np.concatenate([self.age, np.zeros(len(ii), np.int64)])
+        self.fresh = np.concatenate([self.fresh, np.ones(len(ii), bool)])
 
     def rm_factors(self, mask, store=False):
         mask = np.asarray(mask, bool)
@@ -351,10 +382,14 @@ class FactorGraph:
                 ni = len(self.ii_inac)
             sl = slice(ni, ni + k)
             gi = jnp.asarray(drop_idx)
+            # never-updated (fresh) rows hold stale device data; store
+            # them with zero weight so they cannot influence BA
+            fresh_drop = jnp.asarray(self.fresh[drop_idx])[
+                :, None, None, None]
             self.target_inac = self.target_inac.at[sl].set(
                 self.target_cam[gi])
             self.weight_inac = self.weight_inac.at[sl].set(
-                self.weight[gi])
+                jnp.where(fresh_drop, 0.0, self.weight[gi]))
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[mask]])
             self.jj_inac = np.concatenate([self.jj_inac, self.jj[mask]])
 
@@ -372,6 +407,7 @@ class FactorGraph:
         self.ii = self.ii[~mask]
         self.jj = self.jj[~mask]
         self.age = self.age[~mask]
+        self.fresh = self.fresh[~mask]
 
     def rm_keyframe(self, ix):
         self.video.remove_frame(ix)
@@ -477,20 +513,24 @@ class FactorGraph:
         return ii, jj, valid
 
     def update(self, t0=None, t1=None, itrs=2, use_inactive=False,
-               EP=1e-7, motion_only=False, steps=1):
+               EP=1e-7, motion_only=False, steps=1, dist_pair=None):
         """``steps`` consecutive updates run inside one device program
         (the reference loops graph.update() on the host,
-        droid_frontend.py:48-62)."""
+        droid_frontend.py:48-62). ``dist_pair``: optional (i, j) whose
+        post-BA bidirectional frame distance is returned as a device
+        scalar (keyframe-removal probe, saving a round-trip)."""
         if self.n_edges == 0:
-            return
+            return None
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)
         if t1 is None:
             t1 = int(max(self.ii.max(), self.jj.max())) + 1
-        self._fused(t0, t1, itrs=itrs, use_inactive=use_inactive,
-                    EP=EP, motion_only=motion_only,
-                    lm=1e-4, ep=0.1, damp_fac=0.2, steps=steps)
+        d = self._fused(t0, t1, itrs=itrs, use_inactive=use_inactive,
+                        EP=EP, motion_only=motion_only,
+                        lm=1e-4, ep=0.1, damp_fac=0.2, steps=steps,
+                        dist_pair=dist_pair)
         self.age += steps
+        return d
 
     def update_lowmem(self, t0=None, t1=None, itrs=2, EP=1e-7, steps=8):
         """Global-BA update loop (reference update_lowmem,
@@ -503,7 +543,7 @@ class FactorGraph:
                     damp_fac=1.0, steps=steps)
 
     def _fused(self, t0, t1, itrs, use_inactive, EP, motion_only,
-               lm, ep, damp_fac, steps=1):
+               lm, ep, damp_fac, steps=1, dist_pair=None):
         """Host prep (numpy index work only) + ONE device call."""
         v = self.video
         h, w = self.h, self.w
@@ -511,6 +551,11 @@ class FactorGraph:
 
         EB = _bucket(n, self.edge_buckets)
         ii_r, jj_r, valid_r = self._padded_edges(EB)
+        fresh = np.zeros(EB, bool)
+        fresh[:n] = self.fresh
+        self.fresh[:] = False
+        if dist_pair is None:
+            dist_pair = (0, 0)
 
         # inactive edges participating in BA
         if use_inactive and len(self.ii_inac) > 0:
@@ -551,18 +596,22 @@ class FactorGraph:
 
         (v.poses, v.disps, v.damping, self.net, self.target_cam,
          self.weight, self.raw_mask, self.delta_dy,
-         self.full_flow) = _fused_step(
+         self.full_flow, dist) = _fused_step(
             self.params, v.poses, v.disps, v.intrinsics[0], v.fmaps,
-            v.inps, v.segms, v.damping,
+            v.nets, v.inps, v.segms, v.damping,
             self.net, self.target_cam, self.weight, self.raw_mask,
             self.delta_dy, self.full_flow,
             jnp.asarray(ii_r), jnp.asarray(jj_r), jnp.asarray(valid_r),
+            jnp.asarray(fresh),
             extra_target, extra_weight,
             jnp.asarray(ii_ba), jnp.asarray(jj_ba),
             jnp.asarray(valid_ba),
             jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(pv),
             w0, t0, t1, v.thresh, damp_fac, EP, lm, ep,
+            jnp.asarray([dist_pair[0]], jnp.int32),
+            jnp.asarray([dist_pair[1]], jnp.int32), self.beta,
             update_apply=self.update_apply, agg_apply=self.agg_apply,
             K=K, P=P, PAIRS=PAIRS, S_MAX=v.max_segments,
             segm_filter=v.segm_filter, corr_chunk=self.corr_chunk,
             EB=EB, iters=itrs, motion_only=motion_only, steps=steps)
+        return dist

@@ -43,11 +43,12 @@ class Frontend:
             rad=cfg.frontend_radius, nms=cfg.frontend_nms,
             thresh=cfg.frontend_thresh, beta=cfg.beta, remove=True)
 
-        self.graph.update(None, None, use_inactive=True,
-                          steps=self.iters1)
+        # the keyframe-removal distance rides along with the fused
+        # update (one round-trip fewer)
+        d = self.graph.update(None, None, use_inactive=True,
+                              steps=self.iters1,
+                              dist_pair=(self.t1 - 3, self.t1 - 2))
 
-        d = self.video.distance([self.t1 - 3], [self.t1 - 2],
-                                beta=cfg.beta)
         if float(d[0]) < cfg.keyframe_thresh:
             self.graph.rm_keyframe(self.t1 - 2)
             self.video.counter -= 1

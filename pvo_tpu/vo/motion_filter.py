@@ -1,13 +1,17 @@
-"""Keyframe admission by predicted flow magnitude.
+"""Keyframe admission by predicted flow magnitude — single-dispatch.
 
 Rebuild of the reference MotionFilter (VO_Module/droid_slam/
 motion_filter.py): every incoming frame is encoded with fnet; a
 single-edge correlation against the last keyframe plus one update-module
 iteration estimates mean flow; frames exceeding the threshold become
-keyframes (context-encoded and appended to the video).
+keyframes.
 
-Both the probe and the encoders are single jitted programs; the
-keyframe decision is one scalar transferred to the host per frame.
+TPU design: the WHOLE per-frame operation — feature encoding, motion
+probe, conditional context encoding and conditional keyframe write —
+is ONE jitted program with donated video buffers and a lax.cond on the
+admission decision, so tracking a frame costs one device round-trip
+(the admission scalar). The context encoder runs only in the admitted
+branch, like the reference's lazy __context_encoder.
 """
 
 from __future__ import annotations
@@ -25,22 +29,7 @@ from pvo_tpu.vo.net import corr as corr_ops
 from pvo_tpu.vo.net.droidnet import normalize_images
 
 
-@functools.partial(jax.jit, static_argnames=("fnet_apply",))
-def _encode_features(params, image, fnet_apply):
-    x = normalize_images(image[None])
-    return fnet_apply(params, x)[0]
-
-
-@functools.partial(jax.jit, static_argnames=("cnet_apply",))
-def _encode_context(params, image, cnet_apply):
-    x = normalize_images(image[None])
-    ctx = cnet_apply(params, x)[0]
-    net, inp = jnp.split(ctx, 2, axis=-1)
-    return jnp.tanh(net), jax.nn.relu(inp)
-
-
-@functools.partial(jax.jit, static_argnames=("update_apply",))
-def _probe_motion(params, fmap_prev, gmap, net, inp, update_apply):
+def _probe(params_update, update_apply, fmap_prev, gmap, net, inp):
     """Mean |flow delta| of one update iteration at zero flow
     (reference motion_filter.py:72-80)."""
     h, w = gmap.shape[:2]
@@ -53,82 +42,119 @@ def _probe_motion(params, fmap_prev, gmap, net, inp, update_apply):
         corr = corr_ops.corr_and_lookup(
             fmap_prev[None].astype(jnp.float32),
             gmap[None].astype(jnp.float32), coords0)
-    motion = jnp.zeros((1, h, w, 8), jnp.float32)
-    out = update_apply(params, net[None].astype(jnp.float32),
-                       inp[None].astype(jnp.float32), corr, motion)
-    return jnp.mean(jnp.linalg.norm(out["delta"], axis=-1))
+    cdt = jax.tree.leaves(params_update)[0].dtype
+    motion = jnp.zeros((1, h, w, 8), cdt)
+    out = update_apply(params_update, net[None].astype(cdt),
+                       inp[None].astype(cdt), corr.astype(cdt), motion)
+    return jnp.mean(jnp.linalg.norm(
+        out["delta"].astype(jnp.float32), axis=-1))
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(4, 5, 6, 7, 8, 9, 10, 11),
+    static_argnames=("fnet_apply", "cnet_apply", "update_apply",
+                     "first"))
+def _track_kernel(params, fmap_prev, net_prev, inp_prev,
+                  fmaps, nets, inps, segms, images, poses, disps,
+                  intrinsics,
+                  image, intr8, segm, ix, thresh, ident_pose,
+                  fnet_apply, cnet_apply, update_apply, first):
+    """One device program per frame. Returns (admitted, new filter
+    state (fmap, net, inp), updated video buffers)."""
+    x = normalize_images(image[None])
+    gmap = fnet_apply(params["fnet"], x)[0]
+
+    if first:
+        admitted = jnp.asarray(True)
+    else:
+        delta = _probe(params["update"], update_apply, fmap_prev,
+                       gmap, net_prev, inp_prev)
+        admitted = delta > thresh
+
+    def write(ops):
+        (fmaps, nets, inps, segms, images, poses, disps,
+         intrinsics) = ops
+        ctx = cnet_apply(params["cnet"], x)[0]
+        net, inp = jnp.split(ctx, 2, axis=-1)
+        net = jnp.tanh(net)
+        inp = jax.nn.relu(inp)
+
+        fmaps = fmaps.at[ix].set(gmap.astype(fmaps.dtype))
+        nets = nets.at[ix].set(net.astype(nets.dtype))
+        inps = inps.at[ix].set(inp.astype(inps.dtype))
+        segms = segms.at[ix].set(segm)
+        images = images.at[ix].set(image)
+        intrinsics = intrinsics.at[ix].set(intr8)
+        if first:
+            poses = poses.at[ix].set(ident_pose)
+            disps = disps.at[ix].set(
+                jnp.ones(disps.shape[1:], disps.dtype))
+        return ((fmaps, nets, inps, segms, images, poses, disps,
+                 intrinsics), (gmap, net, inp))
+
+    def skip(ops):
+        return (ops, (fmap_prev, net_prev, inp_prev))
+
+    bufs = (fmaps, nets, inps, segms, images, poses, disps, intrinsics)
+    bufs, state = jax.lax.cond(admitted, write, skip, bufs)
+    return admitted, state, bufs
 
 
 class MotionFilter:
     def __init__(self, modules, params, video, thresh=2.5):
-        """modules: dict with 'fnet', 'cnet', 'update' flax modules;
-        params: dict with matching param trees."""
         self.fnet_apply = modules["fnet"].apply
         self.cnet_apply = modules["cnet"].apply
         self.update_apply = modules["update"].apply
-        self.params = params
+        self.params = {"fnet": params["fnet"], "cnet": params["cnet"],
+                       "update": params["update"]}
         self.video = video
         self.thresh = thresh
         self.count = 0
-        self._fmap = None
-        self._net = None
-        self._inp = None
+        h, w = video.h, video.w
+        self._fmap = jnp.zeros((h, w, 128), jnp.float32)
+        self._net = jnp.zeros((h, w, 128), jnp.float32)
+        self._inp = jnp.zeros((h, w, 128), jnp.float32)
 
     def _features(self, image):
-        return _encode_features(self.params["fnet"], image,
-                                fnet_apply=self.fnet_apply)
+        """Standalone fnet encode (used by the trajectory filler)."""
+        x = normalize_images(jnp.asarray(image, jnp.uint8)[None])
+        return self.fnet_apply(self.params["fnet"], x)[0]
 
-    def _context(self, image):
-        return _encode_context(self.params["cnet"], image,
-                               cnet_apply=self.cnet_apply)
+    def track(self, tstamp, image, intrinsics, segments=None,
+              force=False):
+        """image: (H, W, 3) uint8 RGB; intrinsics (4,) full-res."""
+        v = self.video
+        first = v.counter == 0
+        segm = jnp.zeros((v.h, v.w), jnp.int32) if segments is None \
+            or not v.segm_filter else \
+            jnp.asarray(v._remap_segments(segments))
+        thresh = -1.0 if force else float(self.thresh)
 
-    def track(self, tstamp, image, intrinsics, segments=None):
-        """image: (H, W, 3) uint8 RGB; intrinsics at FULL resolution."""
-        image = jnp.asarray(image, jnp.uint8)
-        gmap = self._features(image)
-        intr8 = jnp.asarray(intrinsics, jnp.float32) / 8.0
+        (admitted, (self._fmap, self._net, self._inp),
+         (v.fmaps, v.nets, v.inps, v.segms, v.images, v.poses,
+          v.disps, v.intrinsics)) = _track_kernel(
+            self.params, self._fmap, self._net, self._inp,
+            v.fmaps, v.nets, v.inps, v.segms, v.images, v.poses,
+            v.disps, v.intrinsics,
+            jnp.asarray(image, jnp.uint8),
+            jnp.asarray(intrinsics, jnp.float32) / 8.0,
+            segm, v.counter, thresh,
+            jnp.asarray(np.asarray(se3.identity()), jnp.float32),
+            fnet_apply=self.fnet_apply, cnet_apply=self.cnet_apply,
+            update_apply=self.update_apply, first=first)
 
-        if self.video.counter == 0:
-            net, inp = self._context(image)
-            self._fmap, self._net, self._inp = gmap, net, inp
-            self.video.append(
-                tstamp, image, pose=np.asarray(se3.identity()),
-                disp=1.0 * np.ones((self.video.h, self.video.w),
-                                   np.float32),
-                intrinsics=intr8, fmap=gmap, net=net, inp=inp,
-                segm=segments)
-            return True
-
-        delta = float(_probe_motion(
-            self.params["update"], self._fmap, gmap, self._net,
-            self._inp, update_apply=self.update_apply))
-
-        if delta > self.thresh:
+        ok = bool(admitted)
+        if ok:
+            v.tstamp[v.counter] = float(tstamp)
+            v.counter += 1
             self.count = 0
-            net, inp = self._context(image)
-            self._fmap, self._net, self._inp = gmap, net, inp
-            self.video.append(tstamp, image, pose=None, disp=None,
-                              intrinsics=intr8, fmap=gmap, net=net,
-                              inp=inp, segm=segments)
-            return True
-        self.count += 1
-        return False
+        else:
+            self.count += 1
+        return ok
 
     def track_all(self, tstamp, image, intrinsics, segments=None):
         """Admit every frame (reference track_vo,
         motion_filter.py:91-108)."""
-        image = jnp.asarray(image, jnp.uint8)
-        gmap = self._features(image)
-        net, inp = self._context(image)
-        intr8 = jnp.asarray(intrinsics, jnp.float32) / 8.0
-        if self.video.counter == 0:
-            self.video.append(
-                tstamp, image, pose=np.asarray(se3.identity()),
-                disp=np.ones((self.video.h, self.video.w), np.float32),
-                intrinsics=intr8, fmap=gmap, net=net, inp=inp,
-                segm=segments)
-        else:
-            self.video.append(tstamp, image, pose=None, disp=None,
-                              intrinsics=intr8, fmap=gmap, net=net,
-                              inp=inp, segm=segments)
-        return True
+        return self.track(tstamp, image, intrinsics, segments,
+                          force=True)
