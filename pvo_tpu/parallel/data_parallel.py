@@ -205,8 +205,14 @@ def make_synthetic_batch(n_dev, F=4, H=48, W=64, seed=0):
     }
 
 
-def dryrun(n_devices=None, num_steps=2):
-    """Jit + execute one sharded train step on tiny shapes."""
+def dryrun(n_devices=None, num_steps=2, dry=False):
+    """Jit + execute one sharded train step on tiny shapes.
+
+    dry=True trims the loss graph (no photometric term) so a COLD
+    compile on a CPU-simulated mesh stays fast; the sharded train-step
+    structure (data-sharded batch, replicated params, XLA grad
+    all-reduce) is identical to the real one.
+    """
     devices = jax.devices()[:n_devices] if n_devices else jax.devices()
     mesh = make_mesh(devices)
     n_dev = len(devices)
@@ -230,7 +236,8 @@ def dryrun(n_devices=None, num_steps=2):
     tx = make_optimizer(total_steps=100)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
-    step = make_train_step(model, tx, ii, jj, num_steps=num_steps)
+    step = make_train_step(model, tx, ii, jj, num_steps=num_steps,
+                           ph_loss=not dry)
 
     with mesh:
         state = replicate(state, mesh)
