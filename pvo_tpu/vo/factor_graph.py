@@ -117,7 +117,10 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
 
     if _use_pallas_corr():
         from pvo_tpu.vo.net.pallas_corr import pallas_corr_lookup
-        corr = pallas_corr_lookup(fmaps[ii], fmaps[jj], coords1)
+        # packed 64-tap/level layout; params were expanded to match
+        # (packed_update_params in FactorGraph.__init__)
+        corr = pallas_corr_lookup(fmaps[ii], fmaps[jj], coords1,
+                                  packed=True)
     else:
         corr = corr_ops.chunked_corr_lookup(
             fmaps, ii, jj, coords1, chunk=corr_chunk)
@@ -267,6 +270,10 @@ class FactorGraph:
                  pose_buckets=(32, 64, 128, 256, 512),
                  pair_buckets=(512, 2048, 8192, 32768, 131072)):
         self.video = video
+        if _use_pallas_corr():
+            from pvo_tpu.vo.net.pallas_corr import packed_update_params
+            params = dict(params)
+            params["update"] = packed_update_params(params["update"])
         self.params = params
         self.beta = beta
         self.max_edges = max_edges
@@ -277,7 +284,11 @@ class FactorGraph:
             edge_buckets = tuple(sorted({32, 64, max_edges}))
         self.edge_buckets = tuple(b for b in edge_buckets
                                   if b <= max_edges)
-        self.inactive_buckets = tuple(sorted({0, max_inactive}))
+        # finer inactive buckets: the in-window inactive set is usually
+        # far below the cap, and BA cost scales with the padded total
+        self.inactive_buckets = tuple(sorted(
+            {0, 32, max_inactive} if max_inactive > 32
+            else {0, max_inactive}))
         self.pose_buckets = pose_buckets
         self.pair_buckets = pair_buckets
 

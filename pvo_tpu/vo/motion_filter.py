@@ -37,7 +37,8 @@ def _probe(params_update, update_apply, fmap_prev, gmap, net, inp):
     from pvo_tpu.vo.factor_graph import _use_pallas_corr
     if _use_pallas_corr():
         from pvo_tpu.vo.net.pallas_corr import pallas_corr_lookup
-        corr = pallas_corr_lookup(fmap_prev[None], gmap[None], coords0)
+        corr = pallas_corr_lookup(fmap_prev[None], gmap[None], coords0,
+                                  packed=True)
     else:
         corr = corr_ops.corr_and_lookup(
             fmap_prev[None].astype(jnp.float32),
@@ -106,8 +107,13 @@ class MotionFilter:
         self.fnet_apply = modules["fnet"].apply
         self.cnet_apply = modules["cnet"].apply
         self.update_apply = modules["update"].apply
+        upd = params["update"]
+        from pvo_tpu.vo.factor_graph import _use_pallas_corr
+        if _use_pallas_corr():
+            from pvo_tpu.vo.net.pallas_corr import packed_update_params
+            upd = packed_update_params(upd)
         self.params = {"fnet": params["fnet"], "cnet": params["cnet"],
-                       "update": params["update"]}
+                       "update": upd}
         self.video = video
         self.thresh = thresh
         self.count = 0

@@ -103,7 +103,7 @@ class VOSystem:
             max_inactive=self.cfg.max_inactive,
             max_factors=48,  # reference droid_frontend.py:14
             beta=self.cfg.beta,
-            edge_buckets=tuple(sorted({64, self.cfg.max_edges})))
+            edge_buckets=tuple(sorted({32, 64, self.cfg.max_edges})))
         self.frontend = Frontend(graph, self.video, self.cfg)
         self.backend = Backend(self.video, self.cfg,
                                self.modules["update"],
