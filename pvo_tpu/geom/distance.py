@@ -71,3 +71,19 @@ def frame_distance_bidirectional(poses, disps, intrinsics, ii, jj,
     d1 = frame_distance(poses, disps, intrinsics, ii, jj, beta)
     d2 = frame_distance(poses, disps, intrinsics, jj, ii, beta)
     return 0.5 * (d1 + d2)
+
+
+def window_distance_matrix(poses, disps, intrinsics, d0, WD, beta=0.3):
+    """Bidirectional frame-distance matrix over the sliding window
+    [d0, d0 + WD) (traced origin, static WD). Rides along the fused
+    frontend step so the next frame's proximity-edge proposal needs no
+    device round-trip (the reference calls frame_distance on the host
+    every frame, droid_frontend.py:45)."""
+    import numpy as np
+    pw = jax.lax.dynamic_slice(poses, (d0, 0), (WD, 7))
+    dw = jax.lax.dynamic_slice(
+        disps, (d0, 0, 0), (WD,) + disps.shape[-2:])
+    ii, jj = np.meshgrid(np.arange(WD), np.arange(WD), indexing="ij")
+    d = frame_distance(pw, dw, intrinsics, ii.reshape(-1),
+                       jj.reshape(-1), beta).reshape(WD, WD)
+    return 0.5 * (d + d.T)

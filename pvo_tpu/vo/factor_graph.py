@@ -165,7 +165,8 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
                      "dy_full", "flow_full"),
     static_argnames=("update_apply", "agg_apply", "K", "P", "PAIRS",
                      "S_MAX", "segm_filter", "corr_chunk", "EB",
-                     "iters", "motion_only", "steps"))
+                     "iters", "motion_only", "steps", "steps2", "WD",
+                     "do_seed"))
 def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
                 inps, segms, damping,
                 net_full, target_full, weight_full, raw_full, dy_full,
@@ -174,21 +175,22 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
                 extra_target, extra_weight, ii_ba, jj_ba, valid_ba,
                 pairs_a, pairs_b, pairs_valid,
                 w0, t0, t1, seg_thresh, damp_fac, EP, lm, ep,
-                dist_i, dist_j, beta,
+                dist_i, dist_j, beta, kf_thresh, seed_ix, d0,
                 update_apply, agg_apply, K, P, PAIRS, S_MAX,
                 segm_filter, corr_chunk, EB, iters, motion_only,
-                steps=1):
-    """ONE device program for ``steps`` consecutive graph updates:
-    recurrent operator over the active edges + damping persistence +
-    fused DBA over the active (+inactive) edge set, looped on-device.
-    Buffers are donated, so per-keyframe host<->device traffic is a
-    handful of small index arrays — the latency fix for driving a
-    remote TPU. Fresh edges (just added on the host) are initialized
-    in-kernel: target <- reprojection, state <- zeros, hidden <-
-    video nets (what the reference's add_factors did with separate
-    device ops, factor_graph.py:129-157). The returned distance is the
-    post-BA bidirectional frame distance for (dist_i, dist_j) — the
-    keyframe-removal probe, saving one device round-trip."""
+                steps=1, steps2=0, WD=0, do_seed=False):
+    """ONE device program for the whole per-keyframe frontend update:
+    ``steps`` consecutive graph updates (recurrent operator + damping
+    persistence + fused DBA), then the keyframe-removal distance probe,
+    then — keyframe kept (d >= kf_thresh) — ``steps2`` more updates via
+    lax.cond (the reference's 4+2 pattern with the branch ON DEVICE,
+    droid_frontend.py:52-62), next-pose/disp seeding (:64-66), and the
+    sliding-window distance matrix for the NEXT frame's proximity
+    proposal. Buffers are donated; the host reads back one small packed
+    array per frame, asynchronously. Fresh edges (just added on the
+    host) are initialized in-kernel: target <- reprojection, state <-
+    zeros, hidden <- video nets (what the reference's add_factors did
+    with separate device ops, factor_graph.py:129-157)."""
     F = poses.shape[0]
     h, w = disps.shape[-2:]
 
@@ -255,12 +257,66 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
     carry = jax.lax.fori_loop(0, steps, one_step, carry)
 
     # post-BA keyframe-distance probe (frontend removal decision)
-    from pvo_tpu.geom.distance import frame_distance
+    from pvo_tpu.geom.distance import (frame_distance,
+                                       window_distance_matrix)
     d1 = frame_distance(carry[0], carry[1], intrinsics, dist_i, dist_j,
                         beta)
     d2 = frame_distance(carry[0], carry[1], intrinsics, dist_j, dist_i,
                         beta)
-    return carry + (0.5 * (d1 + d2),)
+    d = 0.5 * (d1 + d2)
+
+    if steps2 > 0:
+        # keyframe kept -> run the remaining updates on-device
+        carry = jax.lax.cond(
+            d[0] >= kf_thresh,
+            lambda c: jax.lax.fori_loop(0, steps2, one_step, c),
+            lambda c: c, carry)
+
+    (poses, disps, damping, net_full, target_full, weight_full,
+     raw_full, dy_full, flow_full) = carry
+
+    if do_seed:
+        poses = poses.at[seed_ix].set(poses[seed_ix - 1])
+        disps = disps.at[seed_ix].set(jnp.mean(disps[seed_ix - 1]))
+
+    if WD > 0:
+        dmat = window_distance_matrix(poses, disps, intrinsics, d0,
+                                      WD, beta)
+        packet = jnp.concatenate([d, dmat.reshape(-1)])
+    else:
+        packet = d
+
+    return (poses, disps, damping, net_full, target_full, weight_full,
+            raw_full, dy_full, flow_full, packet)
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnames=("net", "target", "weight", "raw", "dy", "flow",
+                     "t_inac", "w_inac"),
+    static_argnames=("DK",))
+def _rm_edges_kernel(net, target, weight, raw, dy, flow, t_inac,
+                     w_inac, perm, drop_idx, drop_valid, fresh_drop,
+                     ni, DK):
+    """One device program for edge retirement: store the dropped
+    edges' (target, weight) into the inactive ring at rows
+    [ni, ni+DK) and compact the six edge-state buffers by ``perm`` —
+    replaces ~8 separate dispatches (and a retrace per inactive-store
+    offset) per frame."""
+    MI = t_inac.shape[0]
+    rows = jnp.where(drop_valid, ni + jnp.arange(DK, dtype=jnp.int32),
+                     MI)
+    fd = fresh_drop[:, None, None, None]
+    t_new = target[drop_idx]
+    w_new = jnp.where(fd, 0.0, weight[drop_idx])
+    t_inac = jnp.concatenate(
+        [t_inac, jnp.zeros_like(t_inac[:1])], 0).at[rows].set(
+            t_new)[:MI]
+    w_inac = jnp.concatenate(
+        [w_inac, jnp.zeros_like(w_inac[:1])], 0).at[rows].set(
+            w_new)[:MI]
+    return (net[perm], target[perm], weight[perm], raw[perm],
+            dy[perm], flow[perm], t_inac, w_inac)
 
 
 class FactorGraph:
@@ -373,14 +429,16 @@ class FactorGraph:
         self.age = np.concatenate([self.age, np.zeros(len(ii), np.int64)])
         self.fresh = np.concatenate([self.fresh, np.ones(len(ii), bool)])
 
+    DROP_BUCKETS = (8, 32, 96)
+
     def rm_factors(self, mask, store=False):
         mask = np.asarray(mask, bool)
-        if mask.sum() == 0:
+        k = int(mask.sum())
+        if k == 0:
             return
+        drop_idx = np.nonzero(mask)[0]
+        ni = len(self.ii_inac)
         if store:
-            drop_idx = np.nonzero(mask)[0]
-            k = len(drop_idx)
-            ni = len(self.ii_inac)
             if ni + k > self.max_inactive:
                 # evict oldest inactive entries (FIFO)
                 shift = ni + k - self.max_inactive
@@ -391,16 +449,6 @@ class FactorGraph:
                 self.weight_inac = jnp.roll(self.weight_inac, -shift,
                                             axis=0)
                 ni = len(self.ii_inac)
-            sl = slice(ni, ni + k)
-            gi = jnp.asarray(drop_idx)
-            # never-updated (fresh) rows hold stale device data; store
-            # them with zero weight so they cannot influence BA
-            fresh_drop = jnp.asarray(self.fresh[drop_idx])[
-                :, None, None, None]
-            self.target_inac = self.target_inac.at[sl].set(
-                self.target_cam[gi])
-            self.weight_inac = self.weight_inac.at[sl].set(
-                jnp.where(fresh_drop, 0.0, self.weight[gi]))
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[mask]])
             self.jj_inac = np.concatenate([self.jj_inac, self.jj[mask]])
 
@@ -411,10 +459,27 @@ class FactorGraph:
         # rows are beyond n_edges and never read
         perm = np.concatenate(
             [perm, np.zeros(self.max_edges - len(perm), np.int64)])
-        gperm = jnp.asarray(perm)
-        for name in ("net", "target_cam", "weight", "raw_mask",
-                     "delta_dy", "full_flow"):
-            setattr(self, name, getattr(self, name)[gperm])
+
+        DK = _bucket(k, self.DROP_BUCKETS)
+        drop_pad = np.zeros(DK, np.int64)
+        drop_pad[:k] = drop_idx
+        drop_valid = np.zeros(DK, bool)
+        # padded/non-stored rows write to the dead row MI; fresh
+        # (never-updated) rows store zero weight so they cannot
+        # influence BA
+        drop_valid[:k] = store
+        fresh_drop = np.zeros(DK, bool)
+        fresh_drop[:k] = self.fresh[drop_idx]
+
+        (self.net, self.target_cam, self.weight, self.raw_mask,
+         self.delta_dy, self.full_flow, self.target_inac,
+         self.weight_inac) = _rm_edges_kernel(
+            self.net, self.target_cam, self.weight, self.raw_mask,
+            self.delta_dy, self.full_flow, self.target_inac,
+            self.weight_inac, jnp.asarray(perm), jnp.asarray(drop_pad),
+            jnp.asarray(drop_valid), jnp.asarray(fresh_drop),
+            ni, DK=DK)
+
         self.ii = self.ii[~mask]
         self.jj = self.jj[~mask]
         self.age = self.age[~mask]
@@ -457,9 +522,11 @@ class FactorGraph:
 
     def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
                               thresh=16.0, remove=False,
-                              max_new=None):
+                              max_new=None, distance_fn=None):
         """Distance-based edge proposal with NMS suppression
-        (reference factor_graph.py:372-429)."""
+        (reference factor_graph.py:372-429). ``distance_fn``: optional
+        host-side pair-distance source (the frontend's packet matrix)
+        replacing the synchronous device call."""
         t = self.video.counter
         ix = np.arange(t0, t)
         jx = np.arange(t1, t)
@@ -468,8 +535,11 @@ class FactorGraph:
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
         ii, jj = ii.reshape(-1), jj.reshape(-1)
 
-        d = np.asarray(self.video.distance(ii, jj, beta=beta),
-                       np.float64).copy()
+        if distance_fn is not None:
+            d = np.asarray(distance_fn(ii, jj), np.float64).copy()
+        else:
+            d = np.asarray(self.video.distance(ii, jj, beta=beta),
+                           np.float64).copy()
         d[ii - rad < jj] = np.inf
         d[d > 100] = np.inf
 
@@ -524,12 +594,18 @@ class FactorGraph:
         return ii, jj, valid
 
     def update(self, t0=None, t1=None, itrs=2, use_inactive=False,
-               EP=1e-7, motion_only=False, steps=1, dist_pair=None):
+               EP=1e-7, motion_only=False, steps=1, dist_pair=None,
+               steps2=0, kf_thresh=0.0, seed_ix=None, dmat_window=0):
         """``steps`` consecutive updates run inside one device program
         (the reference loops graph.update() on the host,
         droid_frontend.py:48-62). ``dist_pair``: optional (i, j) whose
         post-BA bidirectional frame distance is returned as a device
-        scalar (keyframe-removal probe, saving a round-trip)."""
+        scalar (keyframe-removal probe, saving a round-trip).
+        ``steps2``: extra updates executed ON DEVICE only when the
+        probe distance >= kf_thresh (frontend keep-keyframe branch).
+        ``seed_ix``: slot seeded with the previous pose / mean disp.
+        ``dmat_window``: if > 0, append the window distance matrix to
+        the returned packet."""
         if self.n_edges == 0:
             return None
         if t0 is None:
@@ -539,8 +615,10 @@ class FactorGraph:
         d = self._fused(t0, t1, itrs=itrs, use_inactive=use_inactive,
                         EP=EP, motion_only=motion_only,
                         lm=1e-4, ep=0.1, damp_fac=0.2, steps=steps,
-                        dist_pair=dist_pair)
-        self.age += steps
+                        dist_pair=dist_pair, steps2=steps2,
+                        kf_thresh=kf_thresh, seed_ix=seed_ix,
+                        dmat_window=dmat_window)
+        self.age += steps + steps2
         return d
 
     def update_lowmem(self, t0=None, t1=None, itrs=2, EP=1e-7, steps=8):
@@ -554,7 +632,8 @@ class FactorGraph:
                     damp_fac=1.0, steps=steps)
 
     def _fused(self, t0, t1, itrs, use_inactive, EP, motion_only,
-               lm, ep, damp_fac, steps=1, dist_pair=None):
+               lm, ep, damp_fac, steps=1, dist_pair=None, steps2=0,
+               kf_thresh=0.0, seed_ix=None, dmat_window=0):
         """Host prep (numpy index work only) + ONE device call."""
         v = self.video
         h, w = self.h, self.w
@@ -567,6 +646,11 @@ class FactorGraph:
         self.fresh[:] = False
         if dist_pair is None:
             dist_pair = (0, 0)
+        do_seed = seed_ix is not None
+        if seed_ix is None:
+            seed_ix = 0
+        d0 = max(0, int(v.counter) + 1 - dmat_window) \
+            if dmat_window else 0
 
         # inactive edges participating in BA
         if use_inactive and len(self.ii_inac) > 0:
@@ -605,24 +689,40 @@ class FactorGraph:
                         self.pair_buckets)
         pa, pb, pv = dba_mod.build_edge_pairs(ii_ba, valid_ba, PAIRS)
 
+        # ONE packed h2d transfer for all index arrays (each small
+        # device_put costs ~1.6 ms through a remote tunnel)
+        packed_idx = jnp.asarray(np.concatenate([
+            ii_r, jj_r, valid_r.astype(np.int32),
+            fresh.astype(np.int32),
+            ii_ba, jj_ba, valid_ba.astype(np.int32),
+            pa, pb, pv.astype(np.int32),
+            np.asarray([dist_pair[0], dist_pair[1]], np.int32),
+        ]).astype(np.int32))
+        o0 = 0
+        spl = []
+        for ln in (EB, EB, EB, EB, EI + EB, EI + EB, EI + EB,
+                   PAIRS, PAIRS, PAIRS, 1, 1):
+            spl.append(packed_idx[o0:o0 + ln])
+            o0 += ln
+        (ii_r_d, jj_r_d, valid_r_d, fresh_d, ii_ba_d, jj_ba_d,
+         valid_ba_d, pa_d, pb_d, pv_d, di_d, dj_d) = spl
+
         (v.poses, v.disps, v.damping, self.net, self.target_cam,
          self.weight, self.raw_mask, self.delta_dy,
-         self.full_flow, dist) = _fused_step(
+         self.full_flow, packet) = _fused_step(
             self.params, v.poses, v.disps, v.intrinsics[0], v.fmaps,
             v.nets, v.inps, v.segms, v.damping,
             self.net, self.target_cam, self.weight, self.raw_mask,
             self.delta_dy, self.full_flow,
-            jnp.asarray(ii_r), jnp.asarray(jj_r), jnp.asarray(valid_r),
-            jnp.asarray(fresh),
+            ii_r_d, jj_r_d, valid_r_d.astype(bool), fresh_d.astype(bool),
             extra_target, extra_weight,
-            jnp.asarray(ii_ba), jnp.asarray(jj_ba),
-            jnp.asarray(valid_ba),
-            jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(pv),
+            ii_ba_d, jj_ba_d, valid_ba_d.astype(bool),
+            pa_d, pb_d, pv_d.astype(bool),
             w0, t0, t1, v.thresh, damp_fac, EP, lm, ep,
-            jnp.asarray([dist_pair[0]], jnp.int32),
-            jnp.asarray([dist_pair[1]], jnp.int32), self.beta,
+            di_d, dj_d, self.beta, float(kf_thresh), int(seed_ix), d0,
             update_apply=self.update_apply, agg_apply=self.agg_apply,
             K=K, P=P, PAIRS=PAIRS, S_MAX=v.max_segments,
             segm_filter=v.segm_filter, corr_chunk=self.corr_chunk,
-            EB=EB, iters=itrs, motion_only=motion_only, steps=steps)
-        return dist
+            EB=EB, iters=itrs, motion_only=motion_only, steps=steps,
+            steps2=steps2, WD=dmat_window, do_seed=do_seed)
+        return packet

@@ -5,6 +5,22 @@ droid_frontend.py): initialization at ``warmup`` keyframes (neighborhood
 factors + 8 updates, proximity factors + 12 updates), then per-keyframe
 updates (age-based factor retirement, proximity factor proposal,
 4+2 recurrent updates, redundant-keyframe removal).
+
+TPU orchestration: the whole per-keyframe update is ONE device program
+(see factor_graph._fused_step) — 4 updates, the keyframe-removal
+distance probe, the conditional 2 extra updates (lax.cond on device),
+next-pose seeding, and the sliding-window distance matrix for the NEXT
+frame's proximity proposal. The host reads back one small packet per
+frame and resolves it at the START of the next frame, so the removal
+decision and the fresh distances are applied exactly where the
+reference applies them, but the host never stalls mid-frame:
+
+    frame t:  resolve packet(t-1): maybe rm_keyframe; remap dmat
+              build topology from dmat(t-1)        [pure numpy]
+              dispatch fused program(t)            [async]
+              -> packet(t) pending
+
+The only other per-frame sync is the motion filter's admission bit.
 """
 
 from __future__ import annotations
@@ -12,6 +28,8 @@ from __future__ import annotations
 import numpy as np
 
 import jax.numpy as jnp
+
+DMAT_WINDOW = 32
 
 
 class Frontend:
@@ -29,10 +47,91 @@ class Frontend:
         self.iters1 = cfg.frontend_iters1
         self.iters2 = cfg.frontend_iters2
 
+        # pending device packet: (device_array, d0, t1_at_dispatch)
+        self._packet = None
+        # resolved distance matrix for THIS frame's topology
+        self._dmat = None
+        self._d0 = 0
+
+    # ---------------- packet protocol ----------------
+
+    def resolve(self):
+        """Public idempotent packet resolution (called by the system
+        at frame start, before the motion filter appends — so a
+        deferred keyframe removal shifts exactly one slot, like the
+        reference's rm_keyframe)."""
+        self._resolve_packet()
+
+    def _resolve_packet(self):
+        """Fetch last frame's packet; apply the deferred
+        keyframe-removal decision; cache the distance matrix."""
+        if self._packet is None:
+            return
+        dev, d0, t1p = self._packet
+        self._packet = None
+        host = np.asarray(dev)           # the per-frame device sync
+        d = float(host[0])
+        dmat = host[1:].reshape(DMAT_WINDOW, DMAT_WINDOW)
+
+        if d < self.cfg.keyframe_thresh:
+            # remove the redundant keyframe (reference removes it
+            # before its next update; deferring one host step keeps
+            # the device branch-free — the 2 extra updates were
+            # already skipped on device by the lax.cond)
+            ix = t1p - 2
+            self.rm_keyframe_deferred(ix)
+            self.t1 -= 1
+            self.video.counter -= 1
+            # remap the distance matrix over the removed slot
+            k = ix - d0
+            if 0 <= k < DMAT_WINDOW:
+                dmat = np.delete(np.delete(dmat, k, 0), k, 1)
+                pad = DMAT_WINDOW - dmat.shape[0]
+                dmat = np.pad(dmat, ((0, pad), (0, pad)),
+                              constant_values=np.inf)
+
+        self._dmat = dmat
+        self._d0 = d0
+
+    def rm_keyframe_deferred(self, ix):
+        """Keyframe removal one host-step after the probe: by now the
+        NEXT keyframe is already appended above, so TWO slots shift
+        down (the reference's rm_keyframe shifts one,
+        factor_graph.py:202-225)."""
+        v = self.video
+        for off in range(ix, v.counter - 1):
+            v.remove_frame(off)
+        g = self.graph
+        m = (g.ii == ix) | (g.jj == ix)
+        g.ii = np.where(g.ii >= ix, g.ii - 1, g.ii)
+        g.jj = np.where(g.jj >= ix, g.jj - 1, g.jj)
+        g.ii_inac = np.where(g.ii_inac >= ix, g.ii_inac - 1, g.ii_inac)
+        g.jj_inac = np.where(g.jj_inac >= ix, g.jj_inac - 1, g.jj_inac)
+        g.rm_factors(m, store=False)
+
+    def _distance_lookup(self, ii, jj):
+        """Pair distances for proximity proposal: from the packet's
+        matrix when available, else a (sync) device call."""
+        if self._dmat is not None:
+            a = np.asarray(ii) - self._d0
+            b = np.asarray(jj) - self._d0
+            ok = (a >= 0) & (a < DMAT_WINDOW) & (b >= 0) & \
+                (b < DMAT_WINDOW)
+            d = np.full(len(a), np.inf)
+            d[ok] = self._dmat[a[ok], b[ok]]
+            return d
+        return np.asarray(self.video.distance(ii, jj,
+                                              beta=self.cfg.beta),
+                          np.float64)
+
+    # ---------------- per-keyframe update ----------------
+
     def _update(self):
         cfg = self.cfg
         self.count += 1
         self.t1 += 1
+
+        self._resolve_packet()
 
         if self.graph.n_edges > 0:
             self.graph.rm_factors(self.graph.age > self.max_age,
@@ -41,28 +140,18 @@ class Frontend:
         self.graph.add_proximity_factors(
             self.t1 - 5, max(self.t1 - cfg.frontend_window, 0),
             rad=cfg.frontend_radius, nms=cfg.frontend_nms,
-            thresh=cfg.frontend_thresh, beta=cfg.beta, remove=True)
+            thresh=cfg.frontend_thresh, beta=cfg.beta, remove=True,
+            distance_fn=self._distance_lookup)
 
-        # the keyframe-removal distance rides along with the fused
-        # update (one round-trip fewer)
-        d = self.graph.update(None, None, use_inactive=True,
-                              steps=self.iters1,
-                              dist_pair=(self.t1 - 3, self.t1 - 2))
-
-        if float(d[0]) < cfg.keyframe_thresh:
-            self.graph.rm_keyframe(self.t1 - 2)
-            self.video.counter -= 1
-            self.t1 -= 1
-        else:
-            self.graph.update(None, None, use_inactive=True,
-                              steps=self.iters2)
-
-        # seed the next frame's pose/depth (reference
-        # droid_frontend.py:64-66)
-        v = self.video
-        v.poses = v.poses.at[self.t1].set(v.poses[self.t1 - 1])
-        v.disps = v.disps.at[self.t1].set(
-            jnp.mean(v.disps[self.t1 - 1]))
+        # ONE device program: iters1 updates + removal probe +
+        # conditional iters2 updates + seeding + next distance matrix
+        packet = self.graph.update(
+            None, None, use_inactive=True, steps=self.iters1,
+            dist_pair=(self.t1 - 3, self.t1 - 2),
+            steps2=self.iters2, kf_thresh=cfg.keyframe_thresh,
+            seed_ix=self.t1, dmat_window=DMAT_WINDOW)
+        d0 = max(0, int(self.video.counter) + 1 - DMAT_WINDOW)
+        self._packet = (packet, d0, self.t1)
 
     def _initialize(self):
         self.t0 = 0
@@ -89,3 +178,9 @@ class Frontend:
             self._initialize()
         elif self.is_initialized and self.t1 < self.video.counter:
             self._update()
+
+    def flush(self):
+        """Resolve any pending packet (call before terminate/backend:
+        a deferred keyframe removal must land before global BA)."""
+        self._resolve_packet()
+        self._dmat = None

@@ -121,6 +121,9 @@ class MotionFilter:
         self._fmap = jnp.zeros((h, w, 128), jnp.float32)
         self._net = jnp.zeros((h, w, 128), jnp.float32)
         self._inp = jnp.zeros((h, w, 128), jnp.float32)
+        # host-cached identity pose: np.asarray(se3.identity()) in the
+        # per-frame path is a d2h fetch that drains the device queue
+        self._ident = np.array([0, 0, 0, 0, 0, 0, 1], np.float32)
 
     def _features(self, image):
         """Standalone fnet encode (used by the trajectory filler)."""
@@ -145,8 +148,7 @@ class MotionFilter:
             v.disps, v.intrinsics,
             jnp.asarray(image, jnp.uint8),
             jnp.asarray(intrinsics, jnp.float32) / 8.0,
-            segm, v.counter, thresh,
-            jnp.asarray(np.asarray(se3.identity()), jnp.float32),
+            segm, v.counter, thresh, self._ident,
             fnet_apply=self.fnet_apply, cnet_apply=self.cnet_apply,
             update_apply=self.update_apply, first=first)
 

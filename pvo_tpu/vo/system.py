@@ -115,6 +115,10 @@ class VOSystem:
     def track(self, tstamp, image, intrinsics, segments=None):
         """image: (H, W, 3) uint8 RGB at cfg.image_size;
         intrinsics: (4,) [fx, fy, cx, cy] at full resolution."""
+        # resolve last frame's packet BEFORE the motion filter: the
+        # packet fetch is the sync that waits out the previous fused
+        # program, so the admission fetch afterwards is pure latency
+        self.frontend.resolve()
         self.filterx.track(tstamp, image, intrinsics, segments)
         self.frontend()
 
@@ -123,6 +127,7 @@ class VOSystem:
         """Run global BA passes and fill non-keyframe poses.
 
         Returns (T, 7) [t, q] trajectory (w2c if need_inv=False)."""
+        self.frontend.flush()
         for steps in backend_steps:
             self.backend(steps)
 

@@ -61,6 +61,9 @@ def main():
                                     g.add_proximity_factors)
     v.distance = timed("video.distance(sync)", v.distance)
     g._fused = timed("fused_step(dispatch)", g._fused)
+    fe = sysm.frontend
+    fe._resolve_packet = timed("resolve_packet(sync)",
+                               fe._resolve_packet)
 
     orig_update = fe_mod.Frontend._update
 
