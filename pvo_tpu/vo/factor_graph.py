@@ -158,6 +158,112 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
             full_flow, eta[..., 0], counts > 0)
 
 
+def _update_core_chunked(params, poses, disps, intrinsics, fmaps, inps,
+                         segms, net_full, target_full, raw_full,
+                         dy_full, ii, jj, valid, w0, seg_thresh,
+                         update_apply, agg_apply, K, S_MAX,
+                         segm_filter, EB, CH):
+    """Streaming variant of :func:`_update_core` for the global-BA
+    backend (the reference's 8-edge-chunked ``update_lowmem``,
+    factor_graph.py:310-360): edges are processed in ``CH``-edge chunks
+    inside a fori_loop, so peak activation memory is ONE chunk's
+    correlation + GRU tensors while the edge-state buffers (which can
+    be bf16) hold the full graph. GraphAgg's scatter-mean accumulates
+    across chunks via its pre/post split.
+
+    Returns (net, target, weight, raw, dy, flow [all (EB,...)],
+    eta (K,h,w), frame_has_edge (K,)).
+    """
+    h, w = disps.shape[-2:]
+    n_chunks = EB // CH
+    p_update, p_agg = params["update"], params["agg"]
+    cdt = jax.tree.leaves(p_update)[0].dtype
+
+    coords0 = projective.coords_grid(h, w)
+    intr_b = jnp.broadcast_to(intrinsics, (1, poses.shape[0], 4))
+
+    weight_full = jnp.zeros((EB, h, w, 2), jnp.float32)
+    flow_full = jnp.zeros((EB, h, w, 2), jnp.float32)
+    sum_acc = jnp.zeros((K + 1, h * w * 128), jnp.float32)
+    cnt_acc = jnp.zeros((K + 1,), jnp.float32)
+
+    def body(c, carry):
+        (net_full, target_full, weight_full, raw_full, dy_full,
+         flow_full, sum_acc, cnt_acc) = carry
+        o = c * CH
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, o, CH, 0)
+        up = lambda a, v: jax.lax.dynamic_update_slice_in_dim(
+            a, v.astype(a.dtype), o, 0)
+
+        ii_c, jj_c, valid_c = sl(ii), sl(jj), sl(valid)
+        tgt_c = sl(target_full).astype(jnp.float32)
+        raw_c = sl(raw_full).astype(jnp.float32)
+        dy_c = sl(dy_full).astype(jnp.float32)
+        net_c = sl(net_full).astype(jnp.float32)
+        vm = valid_c[:, None, None, None].astype(jnp.float32)
+
+        coords1, _ = projective.projective_transform(
+            poses[None], disps[None], intr_b, ii_c, jj_c)
+        coords1 = coords1[0]
+
+        motn = jnp.concatenate([
+            tgt_c - coords0,
+            tgt_c - coords0 + dy_c,
+            tgt_c - coords1,
+            raw_c,
+        ], axis=-1)
+        motn = jnp.clip(motn, -64.0, 64.0)
+
+        if _use_pallas_corr():
+            from pvo_tpu.vo.net.pallas_corr import pallas_corr_lookup
+            corr = pallas_corr_lookup(fmaps[ii_c], fmaps[jj_c], coords1,
+                                      packed=True)
+        else:
+            corr = corr_ops.chunked_corr_lookup(
+                fmaps, ii_c, jj_c, coords1, chunk=min(CH, 16))
+
+        inp = inps[ii_c].astype(cdt)
+        out = update_apply(p_update, net_c.astype(cdt), inp,
+                           corr.astype(cdt), motn.astype(cdt))
+        out = {k: v.astype(jnp.float32) for k, v in out.items()}
+
+        raw_new = raw_c + out["delta_mask"]
+        bin_mask = (jax.nn.sigmoid(raw_new) >= DY_THRESH)
+        if segm_filter:
+            bin_mask = segment_vote_filter(bin_mask, segms[ii_c],
+                                           valid_c, S_MAX, seg_thresh)
+        bin_mask = bin_mask.astype(jnp.float32)
+        tgt_new = coords1 + out["delta"]
+        w_new = jax.nn.sigmoid(out["weight_logits"] +
+                               (1.0 - bin_mask) * 10.0) * vm
+        dy_new = out["delta_dy"] * (1.0 - bin_mask)
+        flow_new = coords1 + dy_new - coords0
+
+        m = jnp.where(valid_c, ii_c - w0, K).astype(jnp.int32)
+        pre = agg_apply(p_agg, out["net"], method="pre")
+        sum_acc = sum_acc + jax.ops.segment_sum(
+            pre.reshape(CH, -1).astype(jnp.float32), m,
+            num_segments=K + 1)
+        cnt_acc = cnt_acc + jax.ops.segment_sum(
+            valid_c.astype(jnp.float32), m, num_segments=K + 1)
+
+        return (up(net_full, out["net"]), up(target_full, tgt_new),
+                up(weight_full, w_new), up(raw_full, raw_new),
+                up(dy_full, dy_new), up(flow_full, flow_new),
+                sum_acc, cnt_acc)
+
+    carry = (net_full, target_full, weight_full, raw_full, dy_full,
+             flow_full, sum_acc, cnt_acc)
+    (net_full, target_full, weight_full, raw_full, dy_full, flow_full,
+     sum_acc, cnt_acc) = jax.lax.fori_loop(0, n_chunks, body, carry)
+
+    mean = (sum_acc[:K] / jnp.maximum(cnt_acc[:K, None], 1.0)) \
+        .reshape(K, h, w, 128)
+    eta, _ = agg_apply(p_agg, mean, method="post")
+    return (net_full, target_full, weight_full, raw_full, dy_full,
+            flow_full, eta[..., 0], cnt_acc[:K] > 0)
+
+
 @functools.partial(
     jax.jit,
     donate_argnames=("poses", "disps", "damping", "net_full",
@@ -166,7 +272,7 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
     static_argnames=("update_apply", "agg_apply", "K", "P", "PAIRS",
                      "S_MAX", "segm_filter", "corr_chunk", "EB",
                      "iters", "motion_only", "steps", "steps2", "WD",
-                     "do_seed"))
+                     "do_seed", "edge_chunk"))
 def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
                 inps, segms, damping,
                 net_full, target_full, weight_full, raw_full, dy_full,
@@ -178,7 +284,8 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
                 dist_i, dist_j, beta, kf_thresh, seed_ix, d0,
                 update_apply, agg_apply, K, P, PAIRS, S_MAX,
                 segm_filter, corr_chunk, EB, iters, motion_only,
-                steps=1, steps2=0, WD=0, do_seed=False):
+                steps=1, steps2=0, WD=0, do_seed=False,
+                edge_chunk=None):
     """ONE device program for the whole per-keyframe frontend update:
     ``steps`` consecutive graph updates (recurrent operator + damping
     persistence + fused DBA), then the keyframe-removal distance probe,
@@ -218,14 +325,24 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
         (poses, disps, damping, net_full, target_full, weight_full,
          raw_full, dy_full, flow_full) = carry
 
-        (net, target, weight, raw, dy, flow, eta,
-         has_edge) = _update_core(
-            params, poses, disps, intrinsics, fmaps, inps, segms,
-            net_full[:EB], target_full[:EB], raw_full[:EB],
-            dy_full[:EB], ii_r, jj_r, valid_r, w0, seg_thresh,
-            update_apply, agg_apply, K, S_MAX, segm_filter, corr_chunk)
+        if edge_chunk is not None:
+            (net, target, weight, raw, dy, flow, eta,
+             has_edge) = _update_core_chunked(
+                params, poses, disps, intrinsics, fmaps, inps, segms,
+                net_full[:EB], target_full[:EB], raw_full[:EB],
+                dy_full[:EB], ii_r, jj_r, valid_r, w0, seg_thresh,
+                update_apply, agg_apply, K, S_MAX, segm_filter,
+                EB, edge_chunk)
+        else:
+            (net, target, weight, raw, dy, flow, eta,
+             has_edge) = _update_core(
+                params, poses, disps, intrinsics, fmaps, inps, segms,
+                net_full[:EB].astype(jnp.float32), target_full[:EB],
+                raw_full[:EB], dy_full[:EB], ii_r, jj_r, valid_r, w0,
+                seg_thresh, update_apply, agg_apply, K, S_MAX,
+                segm_filter, corr_chunk)
 
-        net_full = net_full.at[:EB].set(net)
+        net_full = net_full.at[:EB].set(net.astype(net_full.dtype))
         target_full = target_full.at[:EB].set(target)
         weight_full = weight_full.at[:EB].set(weight)
         raw_full = raw_full.at[:EB].set(raw)
@@ -324,7 +441,14 @@ class FactorGraph:
                  max_edges=96, max_inactive=96, corr_chunk=16,
                  max_factors=-1, edge_buckets=None, beta=0.3,
                  pose_buckets=(32, 64, 128, 256, 512),
-                 pair_buckets=(512, 2048, 8192, 32768, 131072)):
+                 pair_buckets=(512, 2048, 8192, 32768, 131072),
+                 edge_chunk=None, net_dtype=jnp.float32):
+        """``edge_chunk``: when set, the recurrent update streams over
+        edge chunks of this size inside the device program (backend
+        scale; reference update_lowmem chunking) — edge buckets must be
+        multiples of it. ``net_dtype``: storage dtype of the per-edge
+        hidden state (bf16 halves the dominant buffer for big graphs;
+        the reference holds it in fp16 under autocast)."""
         self.video = video
         if _use_pallas_corr():
             from pvo_tpu.vo.net.pallas_corr import packed_update_params
@@ -336,6 +460,7 @@ class FactorGraph:
         self.max_inactive = max_inactive
         self.max_factors = max_factors  # reference active-edge cap
         self.corr_chunk = corr_chunk
+        self.edge_chunk = edge_chunk
         if edge_buckets is None:
             edge_buckets = tuple(sorted({32, 64, max_edges}))
         self.edge_buckets = tuple(b for b in edge_buckets
@@ -365,7 +490,7 @@ class FactorGraph:
 
         # device edge state (padded)
         E = max_edges
-        self.net = jnp.zeros((E, h, w, 128), jnp.float32)
+        self.net = jnp.zeros((E, h, w, 128), net_dtype)
         self.target_cam = jnp.zeros((E, h, w, 2), jnp.float32)
         self.weight = jnp.zeros((E, h, w, 2), jnp.float32)
         self.raw_mask = jnp.zeros((E, h, w, MASK_NUM), jnp.float32)
@@ -724,5 +849,9 @@ class FactorGraph:
             K=K, P=P, PAIRS=PAIRS, S_MAX=v.max_segments,
             segm_filter=v.segm_filter, corr_chunk=self.corr_chunk,
             EB=EB, iters=itrs, motion_only=motion_only, steps=steps,
-            steps2=steps2, WD=dmat_window, do_seed=do_seed)
+            steps2=steps2, WD=dmat_window, do_seed=do_seed,
+            edge_chunk=(self.edge_chunk
+                        if self.edge_chunk and
+                        EB % self.edge_chunk == 0 and
+                        EB > self.edge_chunk else None))
         return packet

@@ -62,6 +62,27 @@ class Frontend:
         reference's rm_keyframe)."""
         self._resolve_packet()
 
+    def resolve_with_append(self, pending, filterx):
+        """Speculative-append packet resolution: the motion filter's
+        per-frame program was ALREADY dispatched (conditionally writing
+        the new keyframe at slot ``counter`` on device, queued after
+        last frame's fused program). Fetch the packet (the big wait —
+        it rides out the fused program), commit the admission bit
+        (cheap: the track kernel is just behind in the queue), then
+        apply the deferred keyframe removal. Because the counter is
+        committed FIRST, the removal shift range naturally extends over
+        the speculatively appended row when one exists.
+
+        Returns the admission bool."""
+        if self._packet is None:
+            return filterx.resolve_track(pending)
+        dev, d0, t1p = self._packet
+        self._packet = None
+        host = np.asarray(dev)           # waits out fused(t-1)
+        ok = filterx.resolve_track(pending)
+        self._apply_packet(host, d0, t1p)
+        return ok
+
     def _resolve_packet(self):
         """Fetch last frame's packet; apply the deferred
         keyframe-removal decision; cache the distance matrix."""
@@ -70,6 +91,9 @@ class Frontend:
         dev, d0, t1p = self._packet
         self._packet = None
         host = np.asarray(dev)           # the per-frame device sync
+        self._apply_packet(host, d0, t1p)
+
+    def _apply_packet(self, host, d0, t1p):
         d = float(host[0])
         dmat = host[1:].reshape(DMAT_WINDOW, DMAT_WINDOW)
 
@@ -94,10 +118,11 @@ class Frontend:
         self._d0 = d0
 
     def rm_keyframe_deferred(self, ix):
-        """Keyframe removal one host-step after the probe: by now the
-        NEXT keyframe is already appended above, so TWO slots shift
-        down (the reference's rm_keyframe shifts one,
-        factor_graph.py:202-225)."""
+        """Keyframe removal one host-step after the probe (the
+        reference's rm_keyframe, factor_graph.py:202-225). The shift
+        range is derived from the CURRENT counter, so when the caller
+        committed a speculative append first (resolve_with_append),
+        the appended row shifts down too."""
         v = self.video
         for off in range(ix, v.counter - 1):
             v.remove_frame(off)

@@ -130,9 +130,14 @@ class MotionFilter:
         x = normalize_images(jnp.asarray(image, jnp.uint8)[None])
         return self.fnet_apply(self.params["fnet"], x)[0]
 
-    def track(self, tstamp, image, intrinsics, segments=None,
-              force=False):
-        """image: (H, W, 3) uint8 RGB; intrinsics (4,) full-res."""
+    def track_async(self, tstamp, image, intrinsics, segments=None,
+                    force=False):
+        """Dispatch the per-frame program WITHOUT waiting for the
+        admission decision. The kernel conditionally writes the
+        keyframe at slot ``counter`` on device; the host learns whether
+        it did in :meth:`resolve_track`. This lets the caller overlap
+        the admission round-trip with the previous frame's fused
+        frontend program (system.py track choreography)."""
         v = self.video
         first = v.counter == 0
         segm = jnp.zeros((v.h, v.w), jnp.int32) if segments is None \
@@ -151,15 +156,27 @@ class MotionFilter:
             segm, v.counter, thresh, self._ident,
             fnet_apply=self.fnet_apply, cnet_apply=self.cnet_apply,
             update_apply=self.update_apply, first=first)
+        return (admitted, float(tstamp))
 
+    def resolve_track(self, pending):
+        """Read the admission bit of a :meth:`track_async` dispatch and
+        commit the host-side counter/tstamp."""
+        admitted, tstamp = pending
+        v = self.video
         ok = bool(admitted)
         if ok:
-            v.tstamp[v.counter] = float(tstamp)
+            v.tstamp[v.counter] = tstamp
             v.counter += 1
             self.count = 0
         else:
             self.count += 1
         return ok
+
+    def track(self, tstamp, image, intrinsics, segments=None,
+              force=False):
+        """image: (H, W, 3) uint8 RGB; intrinsics (4,) full-res."""
+        return self.resolve_track(self.track_async(
+            tstamp, image, intrinsics, segments, force))
 
     def track_all(self, tstamp, image, intrinsics, segments=None):
         """Admit every frame (reference track_vo,

@@ -45,12 +45,36 @@ class GraphAgg(nn.Module):
     ``seg_ids``: (E,) int ids mapping each edge to its source-frame slot
     in [0, num_frames); padded edges must carry id == num_frames (dropped).
     Returns (eta (F,H,W,1), upmask (F,H,W,576)).
+
+    Split into :meth:`pre` (per-edge conv) and :meth:`post` (per-frame
+    convs + heads) so the streaming backend can accumulate the
+    segment-sum across edge CHUNKS without holding every edge's
+    activation at once (the role of the reference's 8-edge chunking in
+    update_lowmem, factor_graph.py:310-360).
     """
 
-    @nn.compact
+    def setup(self):
+        self.conv1 = Conv(128, 3, name="conv1")
+        self.conv2 = Conv(128, 3, name="conv2")
+        self.eta_conv = Conv(1, 3, name="eta")
+        self.upmask_conv = Conv(8 * 8 * 9, 1, padding=0,
+                                name="upmask_disp")
+
+    def pre(self, net):
+        """Per-edge conv before the scatter-mean. (E,H,W,128)."""
+        return nn.relu(self.conv1(net))
+
+    def post(self, mean):
+        """Per-frame tail on the scatter-MEANed activations."""
+        y = nn.relu(self.conv2(mean))
+        eta = self.eta_conv(y)
+        eta = 0.01 * nn.softplus(grad_clip(eta))
+        upmask = self.upmask_conv(y)
+        return eta, upmask
+
     def __call__(self, net, seg_ids, num_frames):
         E, H, W, C = net.shape
-        x = nn.relu(Conv(128, 3, name="conv1")(net))
+        x = self.pre(net)
 
         ones = jnp.ones((E,), x.dtype)
         summed = jax.ops.segment_sum(x.reshape(E, -1), seg_ids,
@@ -60,14 +84,7 @@ class GraphAgg(nn.Module):
         mean = summed[:num_frames] / jnp.maximum(
             counts[:num_frames, None], 1.0)
         mean = mean.reshape(num_frames, H, W, 128)
-
-        y = nn.relu(Conv(128, 3, name="conv2")(mean))
-
-        eta = Conv(1, 3, name="eta")(y)
-        eta = 0.01 * nn.softplus(grad_clip(eta))
-
-        upmask = Conv(8 * 8 * 9, 1, padding=0, name="upmask_disp")(y)
-        return eta, upmask
+        return self.post(mean)
 
 
 class DynamicUpdateModule(nn.Module):

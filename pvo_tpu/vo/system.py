@@ -115,11 +115,16 @@ class VOSystem:
     def track(self, tstamp, image, intrinsics, segments=None):
         """image: (H, W, 3) uint8 RGB at cfg.image_size;
         intrinsics: (4,) [fx, fy, cx, cy] at full resolution."""
-        # resolve last frame's packet BEFORE the motion filter: the
-        # packet fetch is the sync that waits out the previous fused
-        # program, so the admission fetch afterwards is pure latency
-        self.frontend.resolve()
-        self.filterx.track(tstamp, image, intrinsics, segments)
+        # speculative choreography: dispatch the motion-filter program
+        # FIRST (it queues behind last frame's fused program and
+        # conditionally appends at slot counter on device), then fetch
+        # the packet — ONE wait covers both programs, and the admission
+        # bit read afterwards is nearly free. A deferred keyframe
+        # removal discovered in the packet shifts the speculative row
+        # too (frontend.resolve_with_append).
+        pending = self.filterx.track_async(tstamp, image, intrinsics,
+                                           segments)
+        self.frontend.resolve_with_append(pending, self.filterx)
         self.frontend()
 
     def terminate(self, image_stream=None, need_inv=True,

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pvo_tpu.geom import projective
 from pvo_tpu.geom.ba import bundle_adjust, motion_only_ba
@@ -40,6 +41,7 @@ def graph_all_pairs():
 
 
 class TestBundleAdjust:
+    @pytest.mark.slow
     def test_reduces_reprojection_error(self):
         poses_gt, disps_gt, poses, disps, intr = make_scene(
             jax.random.PRNGKey(3))
@@ -94,6 +96,7 @@ class TestBundleAdjust:
                                    intr, ii, jj, fixedp=2)
         assert pose_err(poses) < 0.3 * e0
 
+    @pytest.mark.slow
     def test_gradients_flow(self):
         """The BA step must be differentiable w.r.t. target/weight —
         the property the whole training pipeline depends on."""
@@ -130,6 +133,7 @@ class TestSolvers:
         b = jnp.ones((1, 3, 1), dtype=jnp.float64)
         np.testing.assert_allclose(solve_psd(H, b), 0.0)
 
+    @pytest.mark.slow
     def test_schur_matches_full_solve(self):
         """Schur-eliminated solve == direct solve of the full KKT system."""
         key = jax.random.PRNGKey(7)

@@ -2,6 +2,7 @@
 convergence on a synthetic scene."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +54,7 @@ def pad_edges(ii, jj, E_pad):
 
 
 class TestDBAOracle:
+    @pytest.mark.slow
     def test_matches_dense_schur(self):
         """One dba iteration == dense-E Schur oracle (same damping)."""
         key = jax.random.PRNGKey(0)
@@ -144,6 +146,7 @@ class TestDBAOracle:
         np.testing.assert_allclose(new_disps, disps_oracle,
                                    rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.slow
     def test_convergence(self):
         key = jax.random.PRNGKey(5)
         poses_gt, disps_gt, poses, disps, intr = make_scene(key)

@@ -120,6 +120,7 @@ class TestSE3:
         r2 = se3.mul(se3.exp(dx), g)
         np.testing.assert_allclose(r1, r2, atol=1e-12)
 
+    @pytest.mark.slow
     def test_exp_jacobian_vs_autodiff(self):
         """d/d(eps) [exp(eps) * g] . p at eps=0 — the BA linearization —
         must equal the analytic point-action jacobian [I, -[Gp]x+...]."""

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pvo_tpu.geom.upsample import cvx_upsample, upsample_inter
 from pvo_tpu.vo.net import (BasicEncoder, ConvGRU, DynamicUpdateModule,
                             GraphAgg)

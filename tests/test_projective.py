@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pvo_tpu.geom import projective
 from pvo_tpu.lie import se3
@@ -35,6 +36,7 @@ class TestProjectiveTransform:
             grid, coords.shape), atol=1e-10)
         np.testing.assert_allclose(valid, 1.0)
 
+    @pytest.mark.slow
     def test_jacobian_pose_j(self):
         coords, _, (Ji, Jj, Jz) = projective.projective_transform(
             self.poses, self.disps, self.intr, self.ii, self.jj,

@@ -15,6 +15,7 @@ H, W = 64, 96
 
 
 class TestBackbone:
+    @pytest.mark.slow
     def test_resnet_strides(self):
         net = ResNet50()
         x = jax.random.normal(KEY, (1, H, W, 3))
