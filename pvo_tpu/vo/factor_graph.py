@@ -585,7 +585,9 @@ class FactorGraph:
         perm = np.concatenate(
             [perm, np.zeros(self.max_edges - len(perm), np.int64)])
 
-        DK = _bucket(k, self.DROP_BUCKETS)
+        DK = _bucket(k, self.DROP_BUCKETS + (self.max_edges,)
+                     if k > self.DROP_BUCKETS[-1]
+                     else self.DROP_BUCKETS)
         drop_pad = np.zeros(DK, np.int64)
         drop_pad[:k] = drop_idx
         drop_valid = np.zeros(DK, bool)
