@@ -94,8 +94,9 @@ class VOSystem:
         self.filterx = MotionFilter(self.modules, params, self.video,
                                     thresh=self.cfg.filter_thresh)
 
-        # two edge buckets: the steady-state window fits 64 edges (the
-        # reference frontend caps at 48); the big bucket only serves
+        # edge buckets: 48 matches the reference frontend cap exactly
+        # (droid_frontend.py:14 max_factors=48), so the steady-state
+        # fused step carries zero padding; bigger buckets only serve
         # initialization bursts
         graph = FactorGraph(
             self.video, self.modules["update"], self.modules["agg"],
@@ -103,7 +104,7 @@ class VOSystem:
             max_inactive=self.cfg.max_inactive,
             max_factors=48,  # reference droid_frontend.py:14
             beta=self.cfg.beta,
-            edge_buckets=tuple(sorted({32, 64, self.cfg.max_edges})))
+            edge_buckets=tuple(sorted({32, 48, self.cfg.max_edges})))
         self.frontend = Frontend(graph, self.video, self.cfg)
         self.backend = Backend(self.video, self.cfg,
                                self.modules["update"],

@@ -1,0 +1,174 @@
+"""Synthetic end-to-end accuracy regression (VERDICT #5).
+
+The smoke test only asserts "runs and is finite"; these tests check
+actual ACCURACY and bit-contracts:
+
+1. Oracle convergence: the recurrent operator is replaced by an oracle
+   that emits the GROUND-TRUTH reprojection as the flow target (what a
+   perfectly trained network would output), while every other part of
+   the system — motion filter choreography, fused-step orchestration,
+   damping, DBA solver, keyframe probe/packet protocol, host topology —
+   runs for real. Tracked poses must then converge to the known GT
+   trajectory (ATE under a tight tolerance). Convergence makes the
+   check robust where a bit-exact golden would be chaotic.
+2. shared_data artifact formats: the exact bit-contracts the VPS side
+   consumes (flow .npy at 375x1242 with the reference's resize+scale
+   semantics, 1/8-res disparity, id2rgb PNG roundtrip, KITTI traj txt).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pvo_tpu.utils.config import VOConfig
+from pvo_tpu.vo.system import VOSystem
+
+
+def _stream(n=14, H=64, W=96, seed=3):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 255, (H * 2, W * 2, 3), np.uint8)
+    intr = np.array([40.0, 40.0, W / 2, H / 2], np.float32)
+    for t in range(n):
+        dy, dx = (2 * t) % H, (3 * t) % W
+        yield t, base[dy:dy + H, dx:dx + W], intr, None
+
+
+@pytest.mark.slow
+def test_oracle_targets_converge_to_gt_trajectory(monkeypatch):
+    from pvo_tpu.geom import projective
+    from pvo_tpu.lie import se3
+    from pvo_tpu.utils.ate import ate_rmse
+    from pvo_tpu.vo import factor_graph as fg
+
+    N, H, W = 12, 64, 96
+    h, w = H // 8, W // 8
+
+    # GT: forward translation + slight yaw; constant unit disparity
+    tang = np.zeros((N, 6), np.float32)
+    tang[:, 0] = 0.04 * np.arange(N)          # x translation
+    tang[:, 4] = 0.01 * np.arange(N)          # small rotation
+    gt_poses = jnp.asarray(np.asarray(
+        jax.vmap(se3.exp)(jnp.asarray(tang))))
+    gt_disps = jnp.ones((N, h, w), jnp.float32)
+
+    orig_core = fg._update_core
+
+    def oracle_core(params, poses, disps, intrinsics, fmaps, inps,
+                    segms, net, target_cam, raw_mask, delta_dy,
+                    ii, jj, valid, w0, seg_thresh, update_apply,
+                    agg_apply, K, S_MAX, segm_filter, corr_chunk=16):
+        E = ii.shape[0]
+        F = poses.shape[0]
+        gp = jnp.concatenate(
+            [gt_poses, jnp.tile(gt_poses[-1:], (F - N, 1))])[None]
+        gd = jnp.concatenate(
+            [gt_disps, jnp.tile(gt_disps[-1:], (F - N, 1, 1))])[None]
+        intr_b = jnp.broadcast_to(intrinsics, (1, F, 4))
+        coords_gt, vmask = projective.projective_transform(
+            gp, gd, intr_b, ii, jj)
+        vm = valid[:, None, None, None].astype(jnp.float32) * \
+            vmask[0].astype(jnp.float32)       # (E, h, w, 1)
+        target = coords_gt[0]
+        weight = jnp.broadcast_to(vm, target.shape)
+        eta = 1e-4 * jnp.ones((K,) + target.shape[1:3], jnp.float32)
+        counts = jax.ops.segment_sum(
+            valid.astype(jnp.int32),
+            jnp.where(valid, ii - w0, K).astype(jnp.int32),
+            num_segments=K + 1)[:K]
+        return (net, target, weight, raw_mask, delta_dy,
+                target - projective.coords_grid(*target.shape[1:3]),
+                eta, counts > 0)
+
+    monkeypatch.setattr(fg, "_update_core", oracle_core)
+    # _fused_step's jit trace captured the original core for these
+    # shapes; force a retrace with the oracle (and clean up after)
+    fg._fused_step.clear_cache()
+
+    cfg = VOConfig(image_size=(H, W), buffer=64, warmup=5,
+                   filter_thresh=-1.0,       # admit every frame
+                   keyframe_thresh=0.0, frontend_window=8,
+                   max_edges=96, max_inactive=64, segm_filter=False)
+    sysm = VOSystem(cfg)
+    for (t, img, intr, segm) in _stream(N, H, W):
+        sysm.track(t, img, intr, segments=segm)
+    sysm.frontend.flush()
+
+    est = jnp.asarray(sysm.get_traj())
+    k = est.shape[0]
+    # compare camera centers (c2w translations)
+    est_xyz = np.asarray(se3.inv(est))[:, :3]
+    gt_xyz = np.asarray(se3.inv(gt_poses[:k]))[:, :3]
+    rmse = ate_rmse(est_xyz, gt_xyz)
+    fg._fused_step.clear_cache()               # drop oracle traces
+    assert np.isfinite(rmse)
+    assert rmse < 0.02, rmse
+
+
+def test_flow_depth_artifact_formats(tmp_path):
+    """test_vo2 contract: flow .npy is (375, 1242, 2) float32 with flow
+    vectors rescaled by the resize ratio (reference test_vo2.py:131-133);
+    depth .npy is 1/8-res disparity."""
+    import cv2
+
+    H, W = 240, 808
+    h, w = H // 8, W // 8
+    rng = np.random.RandomState(0)
+    flow8 = rng.randn(h, w, 2).astype(np.float32)
+
+    # the exact export math of scripts/test_vo2.py
+    flow = cv2.resize(flow8 * 8.0, (1242, 375))
+    flow *= np.array([1242 / W, 375 / H], np.float32)
+    disp = rng.rand(h, w).astype(np.float32)
+
+    np.save(tmp_path / "flow.npy", flow)
+    np.save(tmp_path / "depth.npy", disp)
+
+    f = np.load(tmp_path / "flow.npy")
+    d = np.load(tmp_path / "depth.npy")
+    assert f.shape == (375, 1242, 2) and f.dtype == np.float32
+    assert d.shape == (h, w) and d.dtype == np.float32
+    # a constant unit x-flow at net res maps to 8 px at 240x808, i.e.
+    # 8 * 1242/808 px in the exported 375x1242 frame
+    unit = cv2.resize(np.ones((h, w, 2), np.float32) * [1, 0],
+                      (1242, 375)) * 8.0 * \
+        np.array([1242 / W, 375 / H], np.float32)
+    np.testing.assert_allclose(unit[..., 0], 8.0 * 1242 / 808,
+                               rtol=1e-5)
+
+
+def test_id2rgb_png_roundtrip(tmp_path):
+    """pan_seg PNG contract: id2rgb-encoded ids (cat*10000+instance)
+    survive a PNG write/read cycle exactly."""
+    import cv2
+
+    from pvo_tpu.utils.io import id2rgb, rgb2id
+
+    ids = np.array([[0, 130001], [140002, 60000]], np.int32)
+    ids = np.tile(ids, (8, 8))
+    rgb = id2rgb(ids)
+    p = str(tmp_path / "pan.png")
+    cv2.imwrite(p, rgb[:, :, ::-1])           # BGR on disk
+    back = rgb2id(cv2.imread(p)[:, :, ::-1])
+    np.testing.assert_array_equal(back, ids)
+
+
+def test_traj_txt_format(tmp_path):
+    """pvo_traj.txt: one 12-float row-major 3x4 c2w matrix per line
+    (KITTI convention, reference test_vo.py:153-161)."""
+    from pvo_tpu.lie import se3
+    from pvo_tpu.utils.io import write_kitti_poses
+
+    import jax.numpy as jnp
+
+    tang = 0.1 * np.random.RandomState(0).randn(5, 6).astype(np.float32)
+    mats = np.asarray(se3.matrix(se3.exp(jnp.asarray(tang))))
+    p = str(tmp_path / "pvo_traj.txt")
+    write_kitti_poses(p, mats)
+    rows = np.loadtxt(p)
+    assert rows.shape == (5, 12)
+    np.testing.assert_allclose(rows.reshape(5, 3, 4),
+                               mats[:, :3, :4], rtol=1e-5, atol=1e-6)
+
+
