@@ -91,8 +91,11 @@ def convert_roi_heads(sd):
     for i in range(1, 5):
         mh[f"mask_fcn{i}"] = _conv(sd,
                                    f"roi_heads.mask_head.mask_fcn{i}")
+    # torch ConvTranspose2d is correlation-style; flax ConvTranspose
+    # convolves (spatially flipped kernel) — flip kh/kw on top of the
+    # IOHW->HWIO transpose (caught by tests/test_vps_parity.py)
     dk = np.asarray(sd["roi_heads.mask_head.deconv.weight"])
-    mh["deconv"] = {"kernel": np.transpose(dk, (2, 3, 0, 1)),
+    mh["deconv"] = {"kernel": np.transpose(dk, (2, 3, 0, 1))[::-1, ::-1],
                     "bias": np.asarray(
                         sd["roi_heads.mask_head.deconv.bias"])}
     mh["predictor"] = _conv(sd, "roi_heads.mask_head.predictor")

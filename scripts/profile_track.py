@@ -55,15 +55,24 @@ def main():
     v = sysm.video
 
     # --- instrument ---
-    sysm.filterx.track = timed("motion_filter", sysm.filterx.track)
+    sysm.filterx.track_async = timed("motion_filter(dispatch)",
+                                     sysm.filterx.track_async)
+    sysm.filterx.resolve_track = timed("resolve_track(sync)",
+                                       sysm.filterx.resolve_track)
     g.rm_factors = timed("rm_factors", g.rm_factors)
     g.add_proximity_factors = timed("add_proximity",
                                     g.add_proximity_factors)
     v.distance = timed("video.distance(sync)", v.distance)
     g._fused = timed("fused_step(dispatch)", g._fused)
     fe = sysm.frontend
-    fe._resolve_packet = timed("resolve_packet(sync)",
-                               fe._resolve_packet)
+    orig_rwa = fe.resolve_with_append
+
+    def rwa(pending, filterx):
+        t0 = time.perf_counter()
+        out = orig_rwa(pending, filterx)
+        TIMES["resolve_packet(sync)"].append(time.perf_counter() - t0)
+        return out
+    fe.resolve_with_append = rwa
 
     orig_update = fe_mod.Frontend._update
 
