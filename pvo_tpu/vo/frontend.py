@@ -78,6 +78,14 @@ class Frontend:
             return filterx.resolve_track(pending)
         dev, d0, t1p = self._packet
         self._packet = None
+        # start BOTH d2h copies before blocking: the admission bit's
+        # transfer streams as soon as the track kernel retires, so its
+        # later read costs ~0 instead of a full tunnel round-trip
+        try:
+            dev.copy_to_host_async()
+            pending[0].copy_to_host_async()
+        except AttributeError:
+            pass
         host = np.asarray(dev)           # waits out fused(t-1)
         ok = filterx.resolve_track(pending)
         self._apply_packet(host, d0, t1p)

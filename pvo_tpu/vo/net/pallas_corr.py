@@ -19,6 +19,20 @@ width, so the flat matmul result (BLK, H_l*128) reshapes to
 (BLK, H_l, 128) as a pure relayout.
 
 The public entry falls back to the XLA gather implementation off-TPU.
+
+Performance anatomy (measured on v5e, E=64 @30x101, blk=256 — keep for
+future optimization rounds): the all-pairs MXU matmul costs ~0.65 ms
+and the two batched extraction matmuls ~2.5 ms; the dominant cost
+(~12 of ~16 ms) is the SELECTOR CONSTRUCTION — Mosaic lowers 3D
+iota/compare/select and jnp.stack of 2D rows very slowly (stack alone
+~3 ms per selector). Variants tried and rejected: K-padding the
+batched matmul (no change), transposing the contraction to the lane
+dim (no change), level-merged M=32 batched matmuls (no change — not
+batch-count-bound), flattened (blk*8, X) 2D construction (worse),
+XLA-precomputed selectors as kernel inputs (worse: HBM traffic),
+per-tap VPU mask-reduce (VMEM OOM / Mosaic crashes). A faster kernel
+needs either a Mosaic fix for small-minor-dim 3D ops or a true
+per-sublane dynamic gather primitive.
 """
 
 from __future__ import annotations

@@ -34,15 +34,24 @@ def assign_levels(boxes, k_min=2, k_max=5, canonical=224,
 
 
 def multilevel_roi_align(feats: Dict[str, jnp.ndarray], boxes,
-                         out_size=7):
+                         out_size=7, samples=None):
     """Pool each box from its assigned level; evaluates every level for
     every box and selects (static shapes; 4x redundant compute but the
-    pooled tensors are tiny relative to the backbone)."""
+    pooled tensors are tiny relative to the backbone).
+
+    ``samples``: static per-bin sample grid. The reference's
+    sampling_ratio=0 adapts the grid to ceil(bin); FPN level
+    assignment puts box bins in [2, 4) at out_size=7 and [1, 2) at
+    out_size=14, so the static defaults (4 resp. 2) match the adaptive
+    grid exactly at the range's top and approximate the rest
+    (quantified in tests/test_roi_align_sampling.py)."""
+    if samples is None:
+        samples = 4 if out_size <= 7 else 2
     lvl_idx = assign_levels(boxes)
     pooled = []
     for li, (lvl, stride) in enumerate(zip(BOX_LEVELS, BOX_STRIDES)):
         p = ops.roi_align(feats[lvl][0], boxes, out_size=out_size,
-                          spatial_scale=1.0 / stride)
+                          spatial_scale=1.0 / stride, samples=samples)
         pooled.append(p)
     pooled = jnp.stack(pooled, axis=0)        # (L, R, s, s, C)
     return jnp.take_along_axis(
