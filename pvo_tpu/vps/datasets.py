@@ -82,12 +82,15 @@ def load_vkitti_annotation(root, scenes, view, split=None,
 
         for k in idxs:
             name = osp.splitext(osp.basename(imgs[k]))[0]
+            pan_png = osp.join(base, "panoptic_gt_id", name + ".png")
             rec = {
                 "image_id": f"{scene}_{name}",
                 "file_name": imgs[k],
                 "scene": scene,
                 "frame_index": int(k),
                 "sem_seg_file_name": sems[k] if k < len(sems) else None,
+                "pan_seg_file_name": (pan_png if osp.exists(pan_png)
+                                      else None),
                 "segments_info": (annos[k]["segments_info"]
                                   if annos else None),
             }
@@ -142,3 +145,73 @@ def video_pair_mapper(record, load_depth=False):
             out["depth"] = np.load(record["depth_file_name"]) / 100.0
     out["segments_info"] = record.get("segments_info")
     return out
+
+
+def instance_targets(record, image_hw, max_instances=32):
+    """Build padded, static-shape instance GT for the training losses
+    (the role of detectron2's annotations_to_instances inside the
+    dataset mapper, reference PanopticFPN_video_DatasetMapper.py:94-118):
+    thing segments from the panoptic_gt_id PNG become bitmasks, tight
+    boxes, and contiguous class ids, padded to max_instances.
+
+    Returns dict(gt_boxes (M,4) f32, gt_classes (M,) i32,
+    gt_valid (M,) bool, gt_masks (M,H,W) f32).
+    """
+    import cv2
+
+    from pvo_tpu.utils.io import rgb2id
+
+    H, W = image_hw
+    meta = vkitti_metadata()
+    thing_map = meta["thing_dataset_id_to_contiguous_id"]
+
+    boxes = np.zeros((max_instances, 4), np.float32)
+    classes = np.zeros((max_instances,), np.int32)
+    valid = np.zeros((max_instances,), bool)
+    masks = np.zeros((max_instances, H, W), np.float32)
+
+    segs = record.get("segments_info")
+    pan_file = record.get("pan_seg_file_name")
+    if segs and pan_file:
+        pan = rgb2id(cv2.imread(pan_file)[:, :, ::-1])
+        if pan.shape != (H, W):
+            pan = cv2.resize(pan.astype(np.int32), (W, H),
+                             interpolation=cv2.INTER_NEAREST)
+        n = 0
+        for seg in segs:
+            cat = seg.get("category_id")
+            if cat not in thing_map or n >= max_instances:
+                continue
+            m = pan == seg["id"]
+            ys, xs = np.nonzero(m)
+            if ys.size == 0:
+                continue
+            boxes[n] = (xs.min(), ys.min(), xs.max() + 1.0,
+                        ys.max() + 1.0)
+            classes[n] = thing_map[cat]
+            valid[n] = True
+            masks[n] = m
+            n += 1
+    return {"gt_boxes": boxes, "gt_classes": classes,
+            "gt_valid": valid, "gt_masks": masks}
+
+
+def train_sample_mapper(record, max_instances=32, load_depth=False):
+    """Full training sample: image + semseg labels + padded instance
+    targets (+ ref/flow when present, for fusion finetune)."""
+    out = video_pair_mapper(record, load_depth=load_depth)
+    img = out["image"]
+    H, W = img.shape[:2]
+    sem = out.get("sem_seg")
+    if sem is None:
+        sem = np.full((H, W), 255, np.uint8)
+    sample = {
+        "image": img[None].astype(np.float32),
+        "sem_labels": sem[None].astype(np.int32),
+        **instance_targets(record, (H, W), max_instances),
+    }
+    if "ref_image" in out:
+        sample["ref_image"] = out["ref_image"][None].astype(np.float32)
+    if "flow" in out:
+        sample["flow"] = out["flow"].astype(np.float32)
+    return sample

@@ -99,6 +99,55 @@ def fast_rcnn_loss(proposals, prop_valid, scores, deltas, gt_boxes,
     return ce, loc, fg, best_gt
 
 
+def crop_and_resize_masks(gt_masks, gt_idx, boxes, out_size=28,
+                          samples=2):
+    """Crop each proposal's matched GT bitmask to its box at
+    out_size x out_size (reference BitMasks.crop_and_resize —
+    VPS_Module/detectron2/structures/masks.py — ROIAlign aligned=True
+    on the mask, then >= 0.5 binarization in mask_rcnn_loss).
+
+    gt_masks (G, H, W) {0,1}; gt_idx (R,) matched gt per proposal;
+    boxes (R, 4) image coords. Returns (R, out, out) float {0,1}.
+    """
+    G, H, W = gt_masks.shape
+    R = boxes.shape[0]
+    f = jnp.float32
+    b = boxes.astype(f) - 0.5                   # aligned=True shift
+    x0, y0, x1, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    bw = (x1 - x0) / out_size
+    bh = (y1 - y0) / out_size
+
+    ix = jnp.arange(out_size, dtype=f)
+    sx = (jnp.arange(samples, dtype=f) + 0.5) / samples
+    gx = (x0[:, None, None] + (ix[None, :, None] + sx[None, None, :]) *
+          bw[:, None, None]).reshape(R, -1)     # (R, out*s)
+    gy = (y0[:, None, None] + (ix[None, :, None] + sx[None, None, :]) *
+          bh[:, None, None]).reshape(R, -1)
+
+    flat = gt_masks.reshape(G, H * W).astype(f)
+    ys = gy[:, :, None]                          # (R, os, 1)
+    xs = gx[:, None, :]                          # (R, 1, os)
+    y0f = jnp.floor(ys)
+    x0f = jnp.floor(xs)
+    fy = ys - y0f
+    fx = xs - x0f
+
+    def g(yi, xi):
+        inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        idx = yc * W + xc                        # (R, os, os)
+        return flat[gt_idx[:, None, None], idx] * inb
+
+    vals = ((1 - fy) * (1 - fx) * g(y0f, x0f) +
+            (1 - fy) * fx * g(y0f, x0f + 1) +
+            fy * (1 - fx) * g(y0f + 1, x0f) +
+            fy * fx * g(y0f + 1, x0f + 1))       # (R, os, os)
+    s = samples
+    vals = vals.reshape(R, out_size, s, out_size, s).mean((2, 4))
+    return (vals >= 0.5).astype(f)
+
+
 def mask_loss(mask_logits, fg, gt_masks_28):
     """mask_logits (R, 28, 28) for the target class; gt_masks_28
     (R, 28, 28) in {0,1} cropped to the proposal."""

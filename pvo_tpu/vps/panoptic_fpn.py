@@ -42,9 +42,11 @@ class PanopticFPN(nn.Module):
     num_thing_classes: int = C.NUM_THING_CLASSES
     num_semseg_classes: int = C.NUM_SEMSEG_CLASSES
     fusion_alpha: float = 1.0
+    # R-50 stage depths; tests shrink this to bound compile time
+    backbone_blocks: tuple = (3, 4, 6, 3)
 
     def setup(self):
-        self.backbone = ResNet50()
+        self.backbone = ResNet50(stage_blocks=self.backbone_blocks)
         self.fpn = FPN()
         self.rpn_head = RPNHead()
         self.roi_heads = ROIHeads(self.num_thing_classes)

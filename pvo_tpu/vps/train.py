@@ -62,8 +62,17 @@ def make_fusion_optimizer(params, lr=2.5e-4):
 
 def panoptic_losses(model: PanopticFPN, params, image_bgr, feats_warp,
                     gt_boxes, gt_classes, gt_valid, sem_labels,
-                    max_props=256):
-    """Full loss stack for one image."""
+                    gt_masks=None, max_props=256, pre_nms_topk=1000):
+    """Full loss stack for one image: RPN objectness + box regression,
+    Fast R-CNN classification + class-specific box regression, mask BCE
+    on foreground proposals, and semseg CE — the detectron2 loss set
+    the reference trains panFPN.pth with (VPS_Module/detectron2/
+    modeling/meta_arch/panoptic_fpn.py:137-166 training branch;
+    roi_heads/mask_head.py:21-60 for the mask term).
+
+    gt_masks: optional (G, H, W) {0,1} instance bitmasks aligned with
+    gt_boxes; when given, the mask-head loss is included.
+    """
     H, W = image_bgr.shape[1:3]
 
     def fwd(p):
@@ -95,7 +104,11 @@ def panoptic_losses(model: PanopticFPN, params, image_bgr, feats_warp,
     lg0 = {k: v[0] for k, v in obj_logits.items()}
     rg0 = {k: v[0] for k, v in deltas.items()}
     props, _, pvalid = generate_proposals(
-        lg0, rg0, (H, W), post_nms_topk=max_props)
+        lg0, rg0, (H, W), pre_nms_topk=pre_nms_topk,
+        post_nms_topk=max_props)
+    # detectron2 detaches proposals before the ROI heads
+    # (proposal_generator/proposal_utils.py find_top_rpn_proposals)
+    props = jax.lax.stop_gradient(props)
     # include GT boxes as proposals (detectron2 add_gt_proposals)
     G = gt_boxes.shape[0]
     props = jnp.concatenate([props[:-G], gt_boxes], 0)
@@ -113,15 +126,33 @@ def panoptic_losses(model: PanopticFPN, params, image_bgr, feats_warp,
     sem_l = L.semseg_loss(sem_logits, sem_labels)
 
     total = obj_l + loc_l + cls_l + bloc_l + sem_l
-    return total, {"rpn_obj": obj_l, "rpn_loc": loc_l, "cls": cls_l,
-                   "box_loc": bloc_l, "sem_seg": sem_l}
+    metrics = {"rpn_obj": obj_l, "rpn_loc": loc_l, "cls": cls_l,
+               "box_loc": bloc_l, "sem_seg": sem_l}
+
+    # --- mask head on foreground proposals (mask_head.py:21-60) ---
+    if gt_masks is not None:
+        K = model.num_thing_classes
+        mpooled = multilevel_roi_align(feats, props, out_size=14)
+        mlogits = model.apply(
+            params, mpooled,
+            method=lambda m, x: m.roi_heads.mask_head(x))  # (R,28,28,K)
+        tgt_cls = jnp.clip(gt_classes[best_gt], 0, K - 1)
+        sel = jnp.take_along_axis(
+            mlogits, tgt_cls[:, None, None, None], axis=-1)[..., 0]
+        gt28 = L.crop_and_resize_masks(gt_masks, best_gt, props)
+        mask_l = L.mask_loss(sel, fg, gt28)
+        total = total + mask_l
+        metrics["mask"] = mask_l
+
+    return total, metrics
 
 
-def make_fusion_train_step(model: PanopticFPN, tx):
+def make_fusion_train_step(model: PanopticFPN, tx, **loss_kw):
     """Jitted fusion-finetune step on (ref, cur) pairs.
 
     batch: dict with cur_image (1,H,W,3), ref_image, flow (H,W,2),
-    gt_boxes (G,4), gt_classes (G,), gt_valid (G,), sem_labels (1,H,W).
+    gt_boxes (G,4), gt_classes (G,), gt_valid (G,), sem_labels (1,H,W),
+    optional gt_masks (G,H,W).
     """
 
     def step(state: TrainState, batch):
@@ -132,7 +163,8 @@ def make_fusion_train_step(model: PanopticFPN, tx):
             return panoptic_losses(
                 model, p, batch["cur_image"], warped,
                 batch["gt_boxes"], batch["gt_classes"],
-                batch["gt_valid"], batch["sem_labels"])
+                batch["gt_valid"], batch["sem_labels"],
+                gt_masks=batch.get("gt_masks"), **loss_kw)
 
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -143,3 +175,88 @@ def make_fusion_train_step(model: PanopticFPN, tx):
                 {"loss": loss, **metrics})
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_solver(base_lr=2.5e-4, max_iter=90000, warmup_iters=1000,
+                warmup_factor=1e-3, steps=(60000, 80000), gamma=0.1,
+                momentum=0.9, weight_decay=1e-4, clip=1.0):
+    """detectron2 default solver: SGD + momentum + weight decay with
+    WarmupMultiStepLR (reference VPS_Module/detectron2/solver/build.py
+    build_optimizer + build_lr_scheduler; cfg.SOLVER defaults)."""
+    def sched(count):
+        lr = base_lr
+        for s in steps:
+            lr = jnp.where(count >= s, lr * gamma, lr)
+        warm = warmup_factor + (1.0 - warmup_factor) * \
+            jnp.minimum(count.astype(jnp.float32), warmup_iters) / \
+            max(warmup_iters, 1)
+        return lr * warm
+
+    return optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=momentum),
+        optax.scale_by_schedule(lambda c: -sched(c)),
+    )
+
+
+def make_full_train_step(model: PanopticFPN, tx, **loss_kw):
+    """Jitted FULL-MODEL Panoptic-FPN train step (every head learns:
+    backbone, FPN, RPN, box/mask heads, semseg) — the training mode the
+    reference uses to produce panFPN.pth from scratch
+    (VPS_Module/tools/train_net.py:94-131, DefaultTrainer over
+    PanopticFPN training losses).
+
+    batch: image (1,H,W,3), gt_boxes (G,4), gt_classes (G,),
+    gt_valid (G,), sem_labels (1,H,W), gt_masks (G,H,W).
+    """
+
+    def step(state: TrainState, batch):
+        def loss_fn(p):
+            return panoptic_losses(
+                model, p, batch["image"], None,
+                batch["gt_boxes"], batch["gt_classes"],
+                batch["gt_valid"], batch["sem_labels"],
+                gt_masks=batch.get("gt_masks"), **loss_kw)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(params, opt_state, state.step + 1),
+                {"loss": loss, **metrics})
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_full_train_step_dp(model: PanopticFPN, tx, mesh, **loss_kw):
+    """Data-parallel full-model step: batch leaves carry a leading
+    device-batch axis sharded over the mesh's ``data`` axis, params
+    replicated; XLA inserts the gradient all-reduce over ICI (replaces
+    the reference's detectron2 DDP/NCCL launch, engine/launch.py:27-84).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def step(state: TrainState, batch):
+        def loss_fn(p):
+            def one(sample):
+                return panoptic_losses(
+                    model, p, sample["image"], None,
+                    sample["gt_boxes"], sample["gt_classes"],
+                    sample["gt_valid"], sample["sem_labels"],
+                    gt_masks=sample.get("gt_masks"), **loss_kw)
+            loss, metrics = jax.vmap(one)(batch)
+            return jnp.mean(loss), jax.tree.map(jnp.mean, metrics)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(params, opt_state, state.step + 1),
+                {"loss": loss, **metrics})
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step, donate_argnums=(0,)), data, repl
