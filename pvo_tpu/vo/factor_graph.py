@@ -413,14 +413,17 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
                      "t_inac", "w_inac"),
     static_argnames=("DK",))
 def _rm_edges_kernel(net, target, weight, raw, dy, flow, t_inac,
-                     w_inac, perm, drop_idx, drop_valid, fresh_drop,
-                     ni, DK):
+                     w_inac, src, dst, drop_idx, drop_valid,
+                     fresh_drop, ni, DK):
     """One device program for edge retirement: store the dropped
     edges' (target, weight) into the inactive ring at rows
-    [ni, ni+DK) and compact the six edge-state buffers by ``perm`` —
-    replaces ~8 separate dispatches (and a retrace per inactive-store
-    offset) per frame."""
+    [ni, ni+DK), then SWAP-compact — surviving tail rows move into the
+    holes (``dst[i] <- src[i]``; padded pairs write to a dead row).
+    Only O(drops) rows move instead of a full-buffer permutation
+    gather (which cost ~12 ms/frame at the tracking loop's buffer
+    sizes)."""
     MI = t_inac.shape[0]
+    E = net.shape[0]
     rows = jnp.where(drop_valid, ni + jnp.arange(DK, dtype=jnp.int32),
                      MI)
     fd = fresh_drop[:, None, None, None]
@@ -432,8 +435,14 @@ def _rm_edges_kernel(net, target, weight, raw, dy, flow, t_inac,
     w_inac = jnp.concatenate(
         [w_inac, jnp.zeros_like(w_inac[:1])], 0).at[rows].set(
             w_new)[:MI]
-    return (net[perm], target[perm], weight[perm], raw[perm],
-            dy[perm], flow[perm], t_inac, w_inac)
+
+    def compact(buf):
+        vals = buf[src]
+        return jnp.concatenate(
+            [buf, jnp.zeros_like(buf[:1])], 0).at[dst].set(vals)[:E]
+
+    return (compact(net), compact(target), compact(weight),
+            compact(raw), compact(dy), compact(flow), t_inac, w_inac)
 
 
 class FactorGraph:
@@ -577,13 +586,15 @@ class FactorGraph:
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[mask]])
             self.jj_inac = np.concatenate([self.jj_inac, self.jj[mask]])
 
-        keep_idx = np.nonzero(~mask)[0]
-        perm = np.concatenate(
-            [keep_idx, np.arange(len(mask), self.max_edges)])
-        # pad compacted order back to the static buffer size; the tail
-        # rows are beyond n_edges and never read
-        perm = np.concatenate(
-            [perm, np.zeros(self.max_edges - len(perm), np.int64)])
+        # swap-compaction plan: surviving rows >= n_new fill the holes
+        # below n_new (order of edges does not matter anywhere — NMS,
+        # BA assembly and per-edge updates are set-semantics)
+        n = len(mask)
+        n_new = n - k
+        drop_set = set(drop_idx.tolist())
+        holes = [d for d in drop_idx if d < n_new]
+        movers = [r for r in range(n_new, n) if r not in drop_set]
+        assert len(holes) == len(movers), (holes, movers)
 
         DK = _bucket(k, self.DROP_BUCKETS + (self.max_edges,)
                      if k > self.DROP_BUCKETS[-1]
@@ -597,20 +608,25 @@ class FactorGraph:
         drop_valid[:k] = store
         fresh_drop = np.zeros(DK, bool)
         fresh_drop[:k] = self.fresh[drop_idx]
+        src = np.zeros(DK, np.int64)
+        dst = np.full(DK, self.max_edges, np.int64)   # dead row
+        src[:len(movers)] = movers
+        dst[:len(holes)] = holes
 
         (self.net, self.target_cam, self.weight, self.raw_mask,
          self.delta_dy, self.full_flow, self.target_inac,
          self.weight_inac) = _rm_edges_kernel(
             self.net, self.target_cam, self.weight, self.raw_mask,
             self.delta_dy, self.full_flow, self.target_inac,
-            self.weight_inac, jnp.asarray(perm), jnp.asarray(drop_pad),
-            jnp.asarray(drop_valid), jnp.asarray(fresh_drop),
-            ni, DK=DK)
+            self.weight_inac, jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(drop_pad), jnp.asarray(drop_valid),
+            jnp.asarray(fresh_drop), ni, DK=DK)
 
-        self.ii = self.ii[~mask]
-        self.jj = self.jj[~mask]
-        self.age = self.age[~mask]
-        self.fresh = self.fresh[~mask]
+        # mirror the swap on the host topology arrays
+        for name in ("ii", "jj", "age", "fresh"):
+            arr = getattr(self, name).copy()
+            arr[holes] = arr[movers]
+            setattr(self, name, arr[:n_new])
 
     def rm_keyframe(self, ix):
         self.video.remove_frame(ix)

@@ -104,6 +104,10 @@ class VOSystem:
             max_inactive=self.cfg.max_inactive,
             max_factors=48,  # reference droid_frontend.py:14
             beta=self.cfg.beta,
+            # NOTE: keep buckets coarse — finer pose/pair buckets were
+            # tried and the combinatorial shape variants caused
+            # mid-sequence recompiles that cost far more than the
+            # padding they saved
             edge_buckets=tuple(sorted({32, 48, self.cfg.max_edges})))
         self.frontend = Frontend(graph, self.video, self.cfg)
         self.backend = Backend(self.video, self.cfg,
