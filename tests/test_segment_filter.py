@@ -60,3 +60,71 @@ def test_per_edge_independence():
         jnp.ones(E, bool), S_MAX, 0.8))
     assert not out[0].any()
     assert out[1].all()  # edge 1 unaffected
+
+
+class TestSwapCompaction:
+    """Host/device consistency of swap-based edge retirement: after any
+    drop pattern, (ii, jj) rows must still pair with their device
+    buffer rows (checked via a sentinel written per edge)."""
+
+    def _graph(self, n):
+        import numpy as np
+        import jax.numpy as jnp
+        from pvo_tpu.vo import factor_graph as fgm
+        from pvo_tpu.vo.net import DynamicUpdateModule, GraphAgg
+        from pvo_tpu.vo.video import DepthVideo
+
+        video = DepthVideo(image_size=(16, 16), buffer=8,
+                           segm_filter=False)
+        upd = DynamicUpdateModule()
+        agg = GraphAgg()
+        params = {"update": None, "agg": None}
+        g = fgm.FactorGraph.__new__(fgm.FactorGraph)
+        h = w = 2
+        g.video = video
+        g.max_edges = 16
+        g.max_inactive = 16
+        g.max_factors = -1
+        g.edge_buckets = (16,)
+        g.inactive_buckets = (0, 16)
+        g.h, g.w = h, w
+        g.ii = np.arange(n, dtype=np.int64)
+        g.jj = np.arange(n, dtype=np.int64) + 100
+        g.age = np.zeros(n, np.int64)
+        g.fresh = np.zeros(n, bool)
+        g.ii_inac = np.zeros(0, np.int64)
+        g.jj_inac = np.zeros(0, np.int64)
+        g.ii_bad = np.zeros(0, np.int64)
+        g.jj_bad = np.zeros(0, np.int64)
+        # sentinel: device row r carries value == host edge id
+        E = g.max_edges
+        ids = np.zeros((E, h, w, 2), np.float32)
+        ids[:n] = np.arange(n)[:, None, None, None]
+        g.net = jnp.zeros((E, h, w, 128))
+        g.target_cam = jnp.asarray(ids)
+        g.weight = jnp.asarray(ids)
+        g.raw_mask = jnp.asarray(ids)
+        g.delta_dy = jnp.asarray(ids)
+        g.full_flow = jnp.asarray(ids)
+        g.target_inac = jnp.zeros((16, h, w, 2))
+        g.weight_inac = jnp.zeros((16, h, w, 2))
+        return g
+
+    def test_rows_track_host_arrays(self):
+        import itertools
+        import numpy as np
+
+        for pattern in ([0], [5], [0, 5], [2, 3, 4], [0, 1, 2, 3, 4, 5],
+                        [5, 4], [1, 3, 5]):
+            g = self._graph(6)
+            ids0 = {int(i): int(v) for i, v in zip(
+                g.ii, np.asarray(g.target_cam)[:6, 0, 0, 0])}
+            mask = np.zeros(6, bool)
+            mask[pattern] = True
+            g.rm_factors(mask, store=True)
+            tc = np.asarray(g.target_cam)
+            for r, i in enumerate(g.ii):
+                assert ids0[int(i)] == int(tc[r, 0, 0, 0]), \
+                    (pattern, r, i)
+            assert len(g.ii) == 6 - len(pattern)
+            assert len(g.ii_inac) == len(pattern)
