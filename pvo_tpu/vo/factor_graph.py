@@ -628,16 +628,9 @@ class FactorGraph:
             arr[holes] = arr[movers]
             setattr(self, name, arr[:n_new])
 
-    def rm_keyframe(self, ix):
-        self.video.remove_frame(ix)
-        m = (self.ii == ix) | (self.jj == ix)
-        self.ii = np.where(self.ii >= ix, self.ii - 1, self.ii)
-        self.jj = np.where(self.jj >= ix, self.jj - 1, self.jj)
-        self.ii_inac = np.where(self.ii_inac >= ix, self.ii_inac - 1,
-                                self.ii_inac)
-        self.jj_inac = np.where(self.jj_inac >= ix, self.jj_inac - 1,
-                                self.jj_inac)
-        self.rm_factors(m, store=False)
+    # NOTE: keyframe removal lives in Frontend.rm_keyframe_deferred
+    # (it must shift EVERY slot above the removed one, including the
+    # speculative append and the next-frame seed).
 
     def filter_edges(self):
         """Drop long-range edges with negligible confidence
@@ -750,7 +743,7 @@ class FactorGraph:
         ``dmat_window``: if > 0, append the window distance matrix to
         the returned packet."""
         if self.n_edges == 0:
-            return None
+            return None, 0
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)
         if t1 is None:
@@ -761,8 +754,17 @@ class FactorGraph:
                         dist_pair=dist_pair, steps2=steps2,
                         kf_thresh=kf_thresh, seed_ix=seed_ix,
                         dmat_window=dmat_window)
-        self.age += steps + steps2
-        return d
+        # the steps2 extra updates only run on device when the probe
+        # KEEPS the keyframe (reference droid_frontend.py:52-62 ages
+        # edges per executed update); the caller credits +steps2 at
+        # packet-resolve time via age_credit()
+        self.age += steps
+        return d, self._last_d0
+
+    def age_credit(self, extra):
+        """Add deferred update-age (the conditional steps2 that the
+        device's keep-keyframe branch executed last frame)."""
+        self.age += extra
 
     def update_lowmem(self, t0=None, t1=None, itrs=2, EP=1e-7, steps=8):
         """Global-BA update loop (reference update_lowmem,
@@ -872,4 +874,7 @@ class FactorGraph:
                         if self.edge_chunk and
                         EB % self.edge_chunk == 0 and
                         EB > self.edge_chunk else None))
+        # single source of truth for the dmat origin the caller must
+        # use to interpret the packet's distance matrix
+        self._last_d0 = d0
         return packet

@@ -76,7 +76,7 @@ class Frontend:
         Returns the admission bool."""
         if self._packet is None:
             return filterx.resolve_track(pending)
-        dev, d0, t1p = self._packet
+        dev, d0, t1p, steps2 = self._packet
         self._packet = None
         # start BOTH d2h copies before blocking: the admission bit's
         # transfer streams as soon as the track kernel retires, so its
@@ -88,7 +88,7 @@ class Frontend:
             pass
         host = np.asarray(dev)           # waits out fused(t-1)
         ok = filterx.resolve_track(pending)
-        self._apply_packet(host, d0, t1p)
+        self._apply_packet(host, d0, t1p, steps2, appended=ok)
         return ok
 
     def _resolve_packet(self):
@@ -96,12 +96,12 @@ class Frontend:
         keyframe-removal decision; cache the distance matrix."""
         if self._packet is None:
             return
-        dev, d0, t1p = self._packet
+        dev, d0, t1p, steps2 = self._packet
         self._packet = None
         host = np.asarray(dev)           # the per-frame device sync
-        self._apply_packet(host, d0, t1p)
+        self._apply_packet(host, d0, t1p, steps2, appended=False)
 
-    def _apply_packet(self, host, d0, t1p):
+    def _apply_packet(self, host, d0, t1p, steps2, appended):
         d = float(host[0])
         dmat = host[1:].reshape(DMAT_WINDOW, DMAT_WINDOW)
 
@@ -111,7 +111,7 @@ class Frontend:
             # the device branch-free — the 2 extra updates were
             # already skipped on device by the lax.cond)
             ix = t1p - 2
-            self.rm_keyframe_deferred(ix)
+            self.rm_keyframe_deferred(ix, appended=appended)
             self.t1 -= 1
             self.video.counter -= 1
             # remap the distance matrix over the removed slot
@@ -122,17 +122,28 @@ class Frontend:
                 dmat = np.pad(dmat, ((0, pad), (0, pad)),
                               constant_values=np.inf)
 
+        else:
+            # the keep-keyframe branch ran the conditional extra
+            # updates on device — credit their age now (the reference
+            # only ages edges for updates that executed,
+            # droid_frontend.py:52-62)
+            if steps2:
+                self.graph.age_credit(steps2)
+
         self._dmat = dmat
         self._d0 = d0
 
-    def rm_keyframe_deferred(self, ix):
+    def rm_keyframe_deferred(self, ix, appended=False):
         """Keyframe removal one host-step after the probe (the
-        reference's rm_keyframe, factor_graph.py:202-225). The shift
-        range is derived from the CURRENT counter, so when the caller
-        committed a speculative append first (resolve_with_append),
-        the appended row shifts down too."""
+        reference's rm_keyframe, factor_graph.py:202-225). Every slot
+        above ``ix`` shifts down one: the committed keyframes, the
+        speculatively appended row when the caller committed one, and
+        otherwise the NEXT-keyframe seed that last frame's fused step
+        wrote at slot ``counter`` (so a later append still starts from
+        the seeded pose / mean disparity, droid_frontend.py:64-66)."""
         v = self.video
-        for off in range(ix, v.counter - 1):
+        end = v.counter - 1 if appended else v.counter
+        for off in range(ix, end):
             v.remove_frame(off)
         g = self.graph
         m = (g.ii == ix) | (g.jj == ix)
@@ -178,13 +189,12 @@ class Frontend:
 
         # ONE device program: iters1 updates + removal probe +
         # conditional iters2 updates + seeding + next distance matrix
-        packet = self.graph.update(
+        packet, d0 = self.graph.update(
             None, None, use_inactive=True, steps=self.iters1,
             dist_pair=(self.t1 - 3, self.t1 - 2),
             steps2=self.iters2, kf_thresh=cfg.keyframe_thresh,
             seed_ix=self.t1, dmat_window=DMAT_WINDOW)
-        d0 = max(0, int(self.video.counter) + 1 - DMAT_WINDOW)
-        self._packet = (packet, d0, self.t1)
+        self._packet = (packet, d0, self.t1, self.iters2)
 
     def _initialize(self):
         self.t0 = 0

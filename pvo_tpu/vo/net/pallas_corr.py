@@ -69,7 +69,13 @@ def build_padded_pyramid(fmap2, num_levels=4):
     f = fmap2
     for _ in range(num_levels):
         E, H, W, C = f.shape
-        assert W <= LANE, f"level width {W} exceeds lane padding"
+        # the x-selector's static lane-rolls rely on wrapped (negative
+        # or overflowing) taps landing in zero-padded lanes; widths in
+        # (LANE - PATCH, LANE] would wrap into REAL columns and
+        # silently corrupt left/right-edge windows
+        assert W <= LANE - PATCH, \
+            f"level width {W} exceeds roll-safe lane padding " \
+            f"({LANE - PATCH})"
         pad = jnp.zeros((E, H, LANE - W, C), f.dtype)
         levels.append(jnp.concatenate([f, pad], axis=2))
         shapes.append((H, W))
@@ -143,7 +149,7 @@ def _kernel(f1_ref, c_ref, *refs, shapes, blk):
         px0 = bx.astype(jnp.int32)[:, None] - RADIUS + SHIFT
         Q = (ix1 == px0).astype(jnp.float32)          # (BLK, LANE)
         rolls = [jnp.roll(Q, dx - SHIFT, axis=-1)
-                 for dx in range(PATCH + 1)]          # dx and dx+1 taps
+                 for dx in range(PATCH)]              # dx and dx+1 taps
         fx1 = fx[:, :, 0]                             # (BLK, 1)
         B_x = jnp.stack(
             [(1.0 - fx1) * rolls[dx] + fx1 * rolls[dx + 1]

@@ -177,12 +177,31 @@ def make_fusion_train_step(model: PanopticFPN, tx, **loss_kw):
     return jax.jit(step, donate_argnums=(0,))
 
 
+def _decay_mask(params):
+    """detectron2's build_optimizer exempts normalization parameters
+    from weight decay (cfg.SOLVER.WEIGHT_DECAY_NORM = 0.0): decay only
+    leaves whose path does not pass through a norm module."""
+    def walk(tree, under_norm=False):
+        if isinstance(tree, dict):
+            return {k: walk(v, under_norm or "norm" in k.lower())
+                    for k, v in tree.items()}
+        return not under_norm
+    return walk(params)
+
+
 def make_solver(base_lr=2.5e-4, max_iter=90000, warmup_iters=1000,
                 warmup_factor=1e-3, steps=(60000, 80000), gamma=0.1,
-                momentum=0.9, weight_decay=1e-4, clip=1.0):
+                momentum=0.9, weight_decay=1e-4, clip=None,
+                params=None):
     """detectron2 default solver: SGD + momentum + weight decay with
     WarmupMultiStepLR (reference VPS_Module/detectron2/solver/build.py
-    build_optimizer + build_lr_scheduler; cfg.SOLVER defaults)."""
+    build_optimizer + build_lr_scheduler; cfg.SOLVER defaults).
+
+    ``params``: pass the parameter tree to exempt norm scales/biases
+    from weight decay like the reference (WEIGHT_DECAY_NORM = 0.0);
+    without it every leaf decays. ``clip``: the reference ships with
+    gradient clipping DISABLED (CLIP_GRADIENTS.ENABLED = False) — pass
+    a norm to enable it."""
     def sched(count):
         lr = base_lr
         for s in steps:
@@ -192,12 +211,18 @@ def make_solver(base_lr=2.5e-4, max_iter=90000, warmup_iters=1000,
             max(warmup_iters, 1)
         return lr * warm
 
-    return optax.chain(
-        optax.clip_by_global_norm(clip),
-        optax.add_decayed_weights(weight_decay),
-        optax.trace(decay=momentum),
-        optax.scale_by_schedule(lambda c: -sched(c)),
-    )
+    if params is not None:
+        wd = optax.masked(optax.add_decayed_weights(weight_decay),
+                          _decay_mask(params))
+    else:
+        wd = optax.add_decayed_weights(weight_decay)
+
+    parts = [wd,
+             optax.trace(decay=momentum),
+             optax.scale_by_schedule(lambda c: -sched(c))]
+    if clip is not None:
+        parts.insert(0, optax.clip_by_global_norm(clip))
+    return optax.chain(*parts)
 
 
 def make_full_train_step(model: PanopticFPN, tx, **loss_kw):

@@ -88,7 +88,8 @@ def main():
         tx = T.make_fusion_optimizer(params, lr=lr)
         step = T.make_fusion_train_step(model, tx)
     else:
-        tx = T.make_solver(base_lr=lr, max_iter=max_iter)
+        tx = T.make_solver(base_lr=lr, max_iter=max_iter,
+                           params=params)
         step = T.make_full_train_step(model, tx)
     state = T.TrainState(params, tx.init(params),
                          jnp.zeros((), jnp.int32))

@@ -55,3 +55,37 @@ def test_vo_system_runs_end_to_end():
 
     depth = sysm.get_depth()
     assert depth.shape == (sysm.video.counter, 64, 96)
+
+
+@pytest.mark.slow
+def test_keyframe_removal_paths():
+    """Deferred keyframe removal fires under a high keyframe_thresh,
+    combined with both admission outcomes (the speculative-append and
+    rejected-frame shift ranges differ): the system must stay
+    consistent — counter matches frontend t1, poses finite, graph
+    indices in range."""
+    import numpy as np
+
+    cfg = VOConfig(
+        image_size=(64, 96), buffer=64, warmup=5,
+        filter_thresh=0.01,
+        keyframe_thresh=1000.0,   # remove (almost) every keyframe
+        frontend_window=8, max_edges=96, max_inactive=64,
+        segm_filter=False)
+    sysm = VOSystem(cfg)
+
+    frames = list(synth_stream(16))
+    for i, (t, img, intr, segm) in enumerate(frames):
+        # alternate admissions after warmup so removal coincides with
+        # both appended and rejected frames
+        sysm.filterx.thresh = 1e9 if (i > 8 and i % 3 == 0) else -1.0
+        sysm.track(t, img, intr, segments=segm)
+    sysm.frontend.flush()
+
+    v = sysm.video
+    g = sysm.frontend.graph
+    assert sysm.frontend.t1 == v.counter
+    assert np.all(np.isfinite(np.asarray(v.poses[:v.counter])))
+    if g.n_edges:
+        assert g.ii.max() < v.counter and g.jj.max() < v.counter
+        assert g.ii.min() >= 0 and g.jj.min() >= 0
