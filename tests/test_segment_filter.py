@@ -128,3 +128,26 @@ class TestSwapCompaction:
                     (pattern, r, i)
             assert len(g.ii) == 6 - len(pattern)
             assert len(g.ii_inac) == len(pattern)
+
+
+def test_filter_edges_drops_weak_longrange():
+    """filter_edges removes long-range (|i-j| > 2) edges whose mean
+    confidence fell below 1e-3 and remembers them as bad (reference
+    factor_graph.py:92-99)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    g = TestSwapCompaction()._graph(4)
+    # edges: (0,100),(1,101),(2,102),(3,103) -> make them long-range
+    g.jj = g.ii + np.array([1, 5, 6, 2])
+    w = np.zeros((16, 2, 2, 2), np.float32)
+    w[0] = 1.0    # short-range, strong
+    w[1] = 1.0    # long-range, strong -> kept
+    w[2] = 1e-5   # long-range, weak -> dropped
+    w[3] = 1e-5   # short-range, weak -> kept (range <= 2)
+    g.weight = jnp.asarray(w)
+    g.filter_edges()
+    kept = set(zip(g.ii.tolist(), g.jj.tolist()))
+    assert (0, 1) in kept and (1, 6) in kept and (3, 5) in kept
+    assert (2, 8) not in kept
+    assert (g.ii_bad.tolist(), g.jj_bad.tolist()) == ([2], [8])
