@@ -8,9 +8,10 @@ implicit backward.
 
 Design deltas vs the reference:
   * edge indices are STATIC python/numpy arrays (the training frame graph
-    is host-built), so all scatters lower to XLA segment-sums with static
-    segment counts — no dynamic shapes under jit;
-  * assembly uses ``.at[].add`` dense scatters rather than torch_scatter;
+    is host-built), so the assembly one-hots are compile-time CONSTANTS;
+  * assembly contracts against those constant one-hots on the MXU
+    instead of torch_scatter / XLA scatter-adds (scatters serialize
+    into dynamic-update-slices on TPU — see pvo_tpu/vo/dba.py `seg`);
   * the Hessian-block construction is a single batched einsum over pixels
     (MXU-friendly) rather than four separate matmuls.
 """
@@ -31,6 +32,30 @@ def _as_np(idx):
     return np.asarray(idx).astype(np.int64).reshape(-1)
 
 
+def _const_oh(idx, ok, n):
+    """Static (E, n) one-hot as a compile-time constant (masked rows
+    are all-zero). Contracting against it replaces an XLA scatter-add
+    (which serializes on TPU) with an MXU matmul."""
+    idx = np.asarray(idx)
+    E = len(idx)
+    oh = np.zeros((E, n), np.float32)
+    sel = np.asarray(ok)
+    oh[np.arange(E)[sel], idx[sel]] = 1.0
+    return jnp.asarray(oh)
+
+
+def _smat(A, rows, cols, n, m):
+    ok = (rows >= 0) & (cols >= 0) & (rows < n) & (cols < m)
+    oh = _const_oh(rows * m + cols, ok, n * m)
+    return jnp.einsum("es,be...->bs...", oh, A)
+
+
+def _svec(bv, rows, n):
+    ok = (rows >= 0) & (rows < n)
+    oh = _const_oh(rows, ok, n)
+    return jnp.einsum("es,be...->bs...", oh, bv)
+
+
 def _edge_blocks(target, weight, poses, disps, intrinsics, ii, jj):
     """Linearize all edges; return per-edge Hessian/rhs/E/C blocks.
 
@@ -41,29 +66,30 @@ def _edge_blocks(target, weight, poses, disps, intrinsics, ii, jj):
     ht, wd = disps.shape[-2:]
     HW = ht * wd
 
-    coords, valid, (Ji, Jj, Jz) = projective.projective_transform(
-        poses, disps, intrinsics, ii, jj, jacobian=True)
+    # PLANE-layout linearization: jacobian components as (B,N,2,*,HW)
+    # with HW on the lane dim — the stacked (...,HW,2,6) layout wastes
+    # 95% of the lanes and costs ~3x here (scripts/bench_dba.py)
+    coords, valid, Ji_pl, Jj_pl, Jz_pl = \
+        projective.projective_jacobian_planes(
+            poses, disps, intrinsics, ii, jj)
 
-    r = (target - coords).reshape(B, N, HW, 2)
-    w = 0.001 * (valid * weight).reshape(B, N, HW, 2)
+    r = jnp.moveaxis((target - coords).reshape(B, N, HW, 2), -1, 2)
+    w = 0.001 * jnp.moveaxis(
+        (valid * weight).reshape(B, N, HW, 2), -1, 2)  # (B,N,2,HW)
 
-    # J: (B,N,HW,2,12) with columns [Ji | Jj]
-    J = jnp.concatenate([Ji.reshape(B, N, HW, 2, 6),
-                         Jj.reshape(B, N, HW, 2, 6)], axis=-1)
-    wJ = w[..., None] * J
+    J = jnp.concatenate([Ji_pl, Jj_pl], axis=3)        # (B,N,2,12,HW)
+    wJ = w[:, :, :, None] * J
 
-    # Gauss-Newton blocks; contraction over (pixel, channel) hits the MXU
-    Hblk = jnp.einsum("bnkcd,bnkce->bnde", wJ, J)
-    vblk = jnp.einsum("bnkcd,bnkc->bnd", wJ, r)
+    # Gauss-Newton blocks; contraction over (channel, pixel) hits the
+    # MXU with the pixel dim contiguous
+    Hblk = jnp.einsum("bncdh,bnceh->bnde", wJ, J)
+    vblk = jnp.einsum("bncdh,bnch->bnd", wJ, r)
 
-    Jz = Jz.reshape(B, N, HW, 2)
-    Ei = jnp.einsum("bnkcd,bnkc->bndk", w[..., None] *
-                    Ji.reshape(B, N, HW, 2, 6), Jz)
-    Ej = jnp.einsum("bnkcd,bnkc->bndk", w[..., None] *
-                    Jj.reshape(B, N, HW, 2, 6), Jz)
+    Ei = jnp.einsum("bncdh,bnch->bndh", wJ[:, :, :, :6], Jz_pl)
+    Ej = jnp.einsum("bncdh,bnch->bndh", wJ[:, :, :, 6:], Jz_pl)
 
-    wk = jnp.sum(w * r * Jz, axis=-1)
-    Ck = jnp.sum(w * Jz * Jz, axis=-1)
+    wk = jnp.sum(w * r * Jz_pl, axis=2)
+    Ck = jnp.sum(w * Jz_pl * Jz_pl, axis=2)
     return Hblk, vblk, Ei, Ej, Ck, wk
 
 
@@ -90,27 +116,16 @@ def bundle_adjust(target, weight, eta, poses, disps, intrinsics, ii, jj,
     iis = ii - fixedp
     jjs = jj - fixedp
 
-    def smat(A, rows, cols, n, m):
-        ok = (rows >= 0) & (cols >= 0) & (rows < n) & (cols < m)
-        idx = np.where(ok, rows * m + cols, n * m)  # overflow bucket
-        out = jnp.zeros((B, n * m + 1) + A.shape[2:], A.dtype)
-        return out.at[:, idx].add(A)[:, :n * m]
-
-    def svec(bv, rows, n):
-        ok = (rows >= 0) & (rows < n)
-        idx = np.where(ok, rows, n)
-        out = jnp.zeros((B, n + 1) + bv.shape[2:], bv.dtype)
-        return out.at[:, idx].add(bv)[:, :n]
 
     Hii, Hij = Hblk[..., :6, :6], Hblk[..., :6, 6:]
     Hji, Hjj = Hblk[..., 6:, :6], Hblk[..., 6:, 6:]
 
-    H = (smat(Hii, iis, iis, P, P) + smat(Hij, iis, jjs, P, P) +
-         smat(Hji, jjs, iis, P, P) + smat(Hjj, jjs, jjs, P, P))
-    E = smat(Ei, iis, kk, P, M) + smat(Ej, jjs, kk, P, M)
-    v = svec(vblk[..., :6], iis, P) + svec(vblk[..., 6:], jjs, P)
-    C = svec(Ck, kk, M)
-    w = svec(wk, kk, M)
+    H = (_smat(Hii, iis, iis, P, P) + _smat(Hij, iis, jjs, P, P) +
+         _smat(Hji, jjs, iis, P, P) + _smat(Hjj, jjs, jjs, P, P))
+    E = _smat(Ei, iis, kk, P, M) + _smat(Ej, jjs, kk, P, M)
+    v = _svec(vblk[..., :6], iis, P) + _svec(vblk[..., 6:], jjs, P)
+    C = _svec(Ck, kk, M)
+    w = _svec(wk, kk, M)
 
     C = C + eta.reshape(C.shape) + 1e-7
 
@@ -123,7 +138,8 @@ def bundle_adjust(target, weight, eta, poses, disps, intrinsics, ii, jj,
     dx_full = jnp.zeros((B, P_all, D), poses.dtype).at[:, fixedp:].set(dx)
     poses = se3.retr(poses, dx_full)
 
-    dz_full = jnp.zeros((B, P_all, HW), disps.dtype).at[:, kx].add(dz)
+    oh_k = _const_oh(kx, np.ones(len(kx), bool), P_all)
+    dz_full = jnp.einsum("ms,bm...->bs...", oh_k, dz)
     disps = disps + dz_full.reshape(B, P_all, ht, wd)
 
     disps = jnp.where(disps > 10.0, jnp.zeros_like(disps), disps)
@@ -147,23 +163,12 @@ def motion_only_ba(target, weight, eta, poses, disps, intrinsics, ii, jj,
     iis = ii - fixedp
     jjs = jj - fixedp
 
-    def smat(A, rows, cols, n, m):
-        ok = (rows >= 0) & (cols >= 0) & (rows < n) & (cols < m)
-        idx = np.where(ok, rows * m + cols, n * m)
-        out = jnp.zeros((B, n * m + 1) + A.shape[2:], A.dtype)
-        return out.at[:, idx].add(A)[:, :n * m]
-
-    def svec(bv, rows, n):
-        ok = (rows >= 0) & (rows < n)
-        idx = np.where(ok, rows, n)
-        out = jnp.zeros((B, n + 1) + bv.shape[2:], bv.dtype)
-        return out.at[:, idx].add(bv)[:, :n]
 
     Hii, Hij = Hblk[..., :6, :6], Hblk[..., :6, 6:]
     Hji, Hjj = Hblk[..., 6:, :6], Hblk[..., 6:, 6:]
-    H = (smat(Hii, iis, iis, P, P) + smat(Hij, iis, jjs, P, P) +
-         smat(Hji, jjs, iis, P, P) + smat(Hjj, jjs, jjs, P, P))
-    v = svec(vblk[..., :6], iis, P) + svec(vblk[..., 6:], jjs, P)
+    H = (_smat(Hii, iis, iis, P, P) + _smat(Hij, iis, jjs, P, P) +
+         _smat(Hji, jjs, iis, P, P) + _smat(Hjj, jjs, jjs, P, P))
+    v = _svec(vblk[..., :6], iis, P) + _svec(vblk[..., 6:], jjs, P)
 
     dx = block_solve(H.reshape(B, P, P, D, D), v, ep=ep, lm=lm)
 

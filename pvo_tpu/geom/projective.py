@@ -19,6 +19,8 @@ Shapes: batched as (B, N, H, W, ...) where N = number of edges.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from pvo_tpu.lie import se3
@@ -145,6 +147,78 @@ def projective_transform(poses, disps, intrinsics, ii, jj,
         Jz_dir[..., None], Jp.shape[:-2] + (4, 1)))
 
     return x1, valid, (Ji, Jj, Jz)
+
+
+def projective_jacobian_planes(poses, disps, intrinsics, ii, jj):
+    """Jacobians of :func:`projective_transform` in PLANE layout.
+
+    The stacked per-pixel layout (..., H, W, 2, 6) puts 6 in the lane
+    dimension (5% lane use) and composes Jp @ Ja / Jj @ Adj as
+    per-pixel micro-matmuls — ~1.2 ms per linearization at tracking
+    shapes (scripts/bench_dba.py). Here every jacobian entry is a
+    closed-form (B, N, H*W) component plane (full lanes) and only the
+    6x6 adjoint transport remains a matmul, with HW on the lane dim.
+
+    Returns:
+      coords (B,N,H,W,2), valid (B,N,H,W,1),
+      Ji_pl, Jj_pl: (B,N,2,6,HW), Jz_pl: (B,N,2,HW).
+    Numerically identical (up to reassociation) to the jacobian=True
+    outputs of projective_transform.
+    """
+    B = disps.shape[0]
+    N = jnp.asarray(ii).shape[0]
+    H, W = disps.shape[-2:]
+    HW = H * W
+
+    X0 = iproj(disps[:, ii], intrinsics[:, ii])
+    Gij = se3.mul(poses[:, jj], se3.inv(poses[:, ii]))
+    X1 = se3.act4(Gij[:, :, None, None], X0)
+
+    fx, fy, cx, cy = [intrinsics[:, jj, k][..., None]
+                      for k in range(4)]               # (B,N,1)
+
+    Xp = X1[..., 0].reshape(B, N, HW)
+    Yp = X1[..., 1].reshape(B, N, HW)
+    Zu = X1[..., 2].reshape(B, N, HW)                  # unclamped
+    hc = X1[..., 3].reshape(B, N, HW)
+
+    Zc = jnp.where(Zu < 0.5 * MIN_DEPTH, jnp.ones_like(Zu), Zu)
+    a = 1.0 / Zc
+
+    x = fx * (Xp * a) + cx
+    y = fy * (Yp * a) + cy
+    coords = jnp.stack([x, y], axis=-1).reshape(B, N, H, W, 2)
+
+    valid = ((X1[..., 2] > MIN_DEPTH) &
+             (X0[..., 2] > MIN_DEPTH)).astype(coords.dtype)[..., None]
+
+    o = jnp.zeros_like(a)
+    Xa = Xp * a
+    Ya = Yp * a
+    aZ = a * Zu   # == 1 except where Z was clamped (invalid pixels)
+    # rows of Jp @ Ja expanded symbolically (Jp: proj jacobian, Ja:
+    # act_se3 jacobian; see those functions for the factor forms)
+    Jj_pl = jnp.stack([
+        fx * a * hc, o, -fx * Xa * a * hc,
+        -fx * Xa * Ya, fx * (aZ + Xa * Xa), -fx * Ya,
+        o, fy * a * hc, -fy * Ya * a * hc,
+        -fy * (aZ + Ya * Ya), fy * Xa * Ya, fy * Xa,
+    ], axis=2).reshape(B, N, 2, 6, HW)
+
+    # adjoint transport of the rows: Ji = -Jj @ Adj, HW on lanes
+    Adj = se3.adj_matrix(Gij)                          # (B,N,6,6)
+    Ji_pl = -jnp.einsum("bncdh,bnde->bnceh", Jj_pl, Adj)
+
+    tij = Gij[..., :3]
+    t0 = tij[..., 0][..., None]
+    t1 = tij[..., 1][..., None]
+    t2 = tij[..., 2][..., None]
+    Jz_pl = jnp.stack([
+        fx * a * (t0 - Xa * t2),
+        fy * a * (t1 - Ya * t2),
+    ], axis=2)                                          # (B,N,2,HW)
+
+    return coords, valid, Ji_pl, Jj_pl, Jz_pl
 
 
 def induced_flow(poses, disps, intrinsics, ii, jj):

@@ -127,20 +127,28 @@ def dba(poses, disps, intrinsics, target, weight, eta, ii, jj, valid,
         wk = wk[0] * vmask[:, None]
 
         # ---- pose-pose Hessian (P,P,6,6) ----
+        # ONE segment_sum over the 4E stacked blocks instead of four:
+        # the DBA is latency-bound in dozens of small ops
+        # (scripts/bench_dba.py), so op-count is the lever here
         Hii, Hij = Hblk[:, :6, :6], Hblk[:, :6, 6:]
         Hji, Hjj = Hblk[:, 6:, :6], Hblk[:, 6:, 6:]
 
-        def smat(A, rows, cols, ok):
-            idx = jnp.where(ok, rows * P + cols, P * P)
-            return jax.ops.segment_sum(
-                A, idx, num_segments=P * P + 1)[:P * P]
+        def _sidx(rows, cols, ok):
+            return jnp.where(ok, rows * P + cols, P * P)
 
-        H = (smat(Hii, pi, pi, ok_i) + smat(Hij, pi, pj, ok_i & ok_j) +
-             smat(Hji, pj, pi, ok_i & ok_j) + smat(Hjj, pj, pj, ok_j))
+        hidx = jnp.concatenate([
+            _sidx(pi, pi, ok_i), _sidx(pi, pj, ok_i & ok_j),
+            _sidx(pj, pi, ok_i & ok_j), _sidx(pj, pj, ok_j)])
+        H = jax.ops.segment_sum(
+            jnp.concatenate([Hii, Hij, Hji, Hjj]), hidx,
+            num_segments=P * P + 1)[:P * P]
         H = H.reshape(P, P, D, D)
 
-        v = (seg(vblk[:, :6], pi, ok_i, P) +
-             seg(vblk[:, 6:], pj, ok_j, P))
+        vidx = jnp.concatenate([
+            jnp.where(ok_i, pi, P), jnp.where(ok_j, pj, P)])
+        v = jax.ops.segment_sum(
+            jnp.concatenate([vblk[:, :6], vblk[:, 6:]]), vidx,
+            num_segments=P + 1)[:P]
 
         if motion_only:
             S = H
@@ -157,42 +165,50 @@ def dba(poses, disps, intrinsics, target, weight, eta, ii, jj, valid,
             pm = jnp.arange(K, dtype=jnp.int32) + w0 - t0
             ok_pm = (pm >= 0) & (pm < P)
 
-            # (a) self x self -> (pm, pm)
-            SSa = jnp.einsum("kdh,kh,keh->kde", Ei_m, Q, Ei_m)
-            # (b) self x edge -> (p_ii, p_jj) and transpose
+            # structured Schur terms: (a) self x self per depth frame,
+            # (b) self x edge, (c) edge x edge over same-source pairs —
+            # batched into ONE einsum over the stacked (K+E+PR) rows
+            # (all share the xdh,xh,xeh->xde contraction)
             Ei_e = Ei_m[jnp.clip(m, 0, K - 1)]          # (E, 6, HW)
             Q_e = Q[jnp.clip(m, 0, K - 1)]              # (E, HW)
-            SSb = jnp.einsum("edh,eh,efh->edf", Ei_e, Q_e, Ej)
-            # (c) edge x edge over same-source pairs -> (p_jja, p_jjb)
             Ga = Ej[pairs_a]                            # (PR, 6, HW)
-            Gb = Ej[pairs_b]
             Qp = Q_e[pairs_a]
-            SSc = jnp.einsum("pdh,ph,peh->pde", Ga, Qp, Gb)
 
-            def sblk(A, rows, cols, ok):
-                idx = jnp.where(ok, rows * P + cols, P * P)
-                return jax.ops.segment_sum(
-                    A, idx, num_segments=P * P + 1)[:P * P]
+            L = jnp.concatenate([Ei_m, Ei_e, Ga])       # (K+E+PR,6,HW)
+            Qs = jnp.concatenate([Q, Q_e, Qp])
+            Rr = jnp.concatenate([Ei_m, Ej, Ej[pairs_b]])
+            SS = jnp.einsum("xdh,xh,xeh->xde", L, Qs, Rr)
+            SSa = SS[:K]
+            SSb = SS[K:K + E]
+            SSc = SS[K + E:]
 
             pj_a = pj[pairs_a]
             pj_b = pj[pairs_b]
             ok_pair = (pairs_valid & (pj_a >= 0) & (pj_a < P) &
                        (pj_b >= 0) & (pj_b < P))
+            ok_bm = ok_i & ok_j & ok_m
 
-            S = H.reshape(P * P, D, D) - (
-                sblk(SSa, pm, pm, ok_pm) +
-                sblk(SSb, pi, pj, ok_i & ok_j & ok_m) +
-                sblk(jnp.swapaxes(SSb, -1, -2), pj, pi,
-                     ok_i & ok_j & ok_m) +
-                sblk(SSc, pj_a, pj_b, ok_pair))
+            # ONE scatter for all four Schur placements
+            sidx = jnp.concatenate([
+                _sidx(pm, pm, ok_pm), _sidx(pi, pj, ok_bm),
+                _sidx(pj, pi, ok_bm), _sidx(pj_a, pj_b, ok_pair)])
+            Sdat = jnp.concatenate([
+                SSa, SSb, jnp.swapaxes(SSb, -1, -2), SSc])
+            S = H.reshape(P * P, D, D) - jax.ops.segment_sum(
+                Sdat, sidx, num_segments=P * P + 1)[:P * P]
             S = S.reshape(P, P, D, D)
 
-            # rhs correction: v - E Q w
-            rc_self = jnp.einsum("kdh,kh,kh->kd", Ei_m, Q, w_m)
-            rc_edge = jnp.einsum("edh,eh,eh->ed", Ej, Q_e,
-                                 w_m[jnp.clip(m, 0, K - 1)])
-            rhs = v - (seg(rc_self, pm, ok_pm, P) +
-                       seg(rc_edge, pj, ok_j & ok_m, P))
+            # rhs correction: v - E Q w (self + edge terms batched)
+            w_e = w_m[jnp.clip(m, 0, K - 1)]
+            rc = jnp.einsum("xdh,xh,xh->xd",
+                            jnp.concatenate([Ei_m, Ej]),
+                            jnp.concatenate([Q, Q_e]),
+                            jnp.concatenate([w_m, w_e]))
+            ridx = jnp.concatenate([
+                jnp.where(ok_pm, pm, P),
+                jnp.where(ok_j & ok_m, pj, P)])
+            rhs = v - jax.ops.segment_sum(
+                rc, ridx, num_segments=P + 1)[:P]
 
         # ---- damped dense solve ----
         Sd = jnp.transpose(S, (0, 2, 1, 3)).reshape(P * D, P * D)

@@ -49,13 +49,27 @@ import os
 
 
 @_ft.lru_cache(None)
-def _use_pallas_corr():
-    """Pallas fused corr on TPU (21x over the XLA gather path);
-    override with PVO_PALLAS_CORR=0/1."""
+def _pallas_backend_ok():
     env = os.environ.get("PVO_PALLAS_CORR")
     if env is not None:
         return env == "1"
     return jax.default_backend() == "tpu"
+
+
+def _use_pallas_corr(h=None, w=None):
+    """Pallas fused corr on TPU (much faster than the XLA gather
+    path); override with PVO_PALLAS_CORR=0/1. Shape-gated: 1/8-res
+    feature maps taller/wider than the kernel's roll-safe lane
+    padding (120) fall back to the XLA path instead of asserting, so
+    arbitrarily wide streams keep tracking."""
+    if not _pallas_backend_ok():
+        return False
+    if h is not None or w is not None:
+        from pvo_tpu.vo.net.pallas_corr import LANE, PATCH
+        lim = LANE - PATCH
+        if (h or 0) > lim or (w or 0) > lim:
+            return False
+    return True
 
 
 def segment_vote_filter(bin_mask, segm_e, valid, S_MAX, seg_thresh):
@@ -115,7 +129,7 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
     ], axis=-1)
     motn = jnp.clip(motn, -64.0, 64.0)
 
-    if _use_pallas_corr():
+    if _use_pallas_corr(h, w):
         from pvo_tpu.vo.net.pallas_corr import pallas_corr_lookup
         # packed 64-tap/level layout; params were expanded to match
         # (packed_update_params in FactorGraph.__init__)
@@ -214,7 +228,7 @@ def _update_core_chunked(params, poses, disps, intrinsics, fmaps, inps,
         ], axis=-1)
         motn = jnp.clip(motn, -64.0, 64.0)
 
-        if _use_pallas_corr():
+        if _use_pallas_corr(h, w):
             from pvo_tpu.vo.net.pallas_corr import pallas_corr_lookup
             corr = pallas_corr_lookup(fmaps[ii_c], fmaps[jj_c], coords1,
                                       packed=True)
@@ -459,7 +473,7 @@ class FactorGraph:
         hidden state (bf16 halves the dominant buffer for big graphs;
         the reference holds it in fp16 under autocast)."""
         self.video = video
-        if _use_pallas_corr():
+        if _use_pallas_corr(video.h, video.w):
             from pvo_tpu.vo.net.pallas_corr import packed_update_params
             params = dict(params)
             params["update"] = packed_update_params(params["update"])
@@ -679,21 +693,33 @@ class FactorGraph:
         d[ii - rad < jj] = np.inf
         d[d > 100] = np.inf
 
-        def suppress(i, j):
-            r = max(min(abs(int(i) - int(j)) - 2, nms), 0)
-            for di in range(-nms, nms + 1):
-                for dj in range(-nms, nms + 1):
-                    if abs(di) + abs(dj) <= r:
-                        i1, j1 = int(i) + di, int(j) + dj
-                        if t0 <= i1 < t and t1 <= j1 < t:
-                            d[(i1 - t0) * (t - t1) + (j1 - t1)] = np.inf
+        # diamond-NMS suppression (|di|+|dj| <= r around each edge),
+        # vectorized: one fancy-indexed write per distinct radius
+        # instead of a python double loop per edge — the reference's
+        # per-edge loops (factor_graph.py:380-427) cost host seconds
+        # at backend scale (300+ keyframes)
+        offs = {rv: np.array(
+            [(di, dj) for di in range(-nms, nms + 1)
+             for dj in range(-nms, nms + 1)
+             if abs(di) + abs(dj) <= rv], np.int64).reshape(-1, 2)
+            for rv in range(nms + 1)}
 
-        for i, j in zip(np.concatenate([self.ii, self.ii_bad,
-                                        self.ii_inac]),
-                        np.concatenate([self.jj, self.jj_bad,
-                                        self.jj_inac])):
-            if abs(int(i) - int(j)) > 2:
-                suppress(i, j)
+        def suppress(si, sj):
+            si = np.asarray(si, np.int64).reshape(-1)
+            sj = np.asarray(sj, np.int64).reshape(-1)
+            r = np.clip(np.abs(si - sj) - 2, 0, nms)
+            for rv in np.unique(r):
+                o = offs[int(rv)]
+                sel = r == rv
+                i1 = si[sel][:, None] + o[None, :, 0]
+                j1 = sj[sel][:, None] + o[None, :, 1]
+                ok = ((i1 >= t0) & (i1 < t) & (j1 >= t1) & (j1 < t))
+                d[(i1[ok] - t0) * (t - t1) + (j1[ok] - t1)] = np.inf
+
+        ei = np.concatenate([self.ii, self.ii_bad, self.ii_inac])
+        ej = np.concatenate([self.jj, self.jj_bad, self.jj_inac])
+        lr = np.abs(ei - ej) > 2
+        suppress(ei[lr], ej[lr])
 
         es = []
         for i in range(t0, t):
@@ -701,7 +727,11 @@ class FactorGraph:
                 es.append((i, j))
                 es.append((j, i))
 
-        for k in np.argsort(d):
+        # greedy accept in distance order; only candidates initially
+        # under thresh can ever be accepted (suppression only raises
+        # d), so the scan is bounded by their count, not t^2
+        order = np.argsort(d)[: int(np.count_nonzero(d <= thresh))]
+        for k in order:
             if d[k] > thresh:
                 continue
             if max_new is not None and len(es) >= 2 * max_new:

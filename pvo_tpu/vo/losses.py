@@ -323,6 +323,36 @@ def unsup_occ_vals(poses_list, disps_list, intrinsics, ii, jj,
     return (rel < thresh).astype(jnp.float32) * valid[..., 0]
 
 
+def unsup_dy_vals(vals, dy_masks, ii):
+    """Fold dynamic-region masks into occlusion validity masks
+    (reference losses.py:323-345): static pixels (mask==0) become
+    unconditionally valid, dynamic pixels (mask==1) keep their
+    occlusion validity — val = clamp(val + (1 - dy), 0, 1).
+
+    vals: (B, N, H, W) or a per-step list of such. dy_masks: either a
+    per-frame (B, F, H', W') tensor (GT dynamic masks; full-res inputs
+    are reduced with the reference's ``3::8`` pixel-center
+    subsampling) gathered at edge sources ``ii``, or a per-step list
+    of edge-aligned (B, N, H, W) masks (e.g. self labels).
+    """
+    single = not isinstance(vals, (list, tuple))
+    vlist = [vals] if single else list(vals)
+
+    if isinstance(dy_masks, (list, tuple)):
+        dlist = [d.reshape(v.shape) for d, v in zip(dy_masks, vlist)]
+    else:
+        m = dy_masks
+        hw = vlist[0].shape[-2:]
+        if m.shape[-2:] != hw:
+            m = m[..., 3::8, 3::8]
+        ii = np.asarray(ii).reshape(-1)
+        dlist = [m[:, ii]] * len(vlist)
+
+    out = [jnp.clip(v + (1.0 - d), 0.0, 1.0)
+           for v, d in zip(vlist, dlist)]
+    return out[0] if single else out
+
+
 def photo_loss(images_pairs, full_flows, use_ssim=True, gamma=GAMMA,
                occ_masks=None):
     """Photometric warp loss by full flow (losses.py:151-211).

@@ -35,7 +35,7 @@ def _probe(params_update, update_apply, fmap_prev, gmap, net, inp):
     h, w = gmap.shape[:2]
     coords0 = projective.coords_grid(h, w)[None]
     from pvo_tpu.vo.factor_graph import _use_pallas_corr
-    if _use_pallas_corr():
+    if _use_pallas_corr(h, w):
         from pvo_tpu.vo.net.pallas_corr import pallas_corr_lookup
         corr = pallas_corr_lookup(fmap_prev[None], gmap[None], coords0,
                                   packed=True)
@@ -109,7 +109,7 @@ class MotionFilter:
         self.update_apply = modules["update"].apply
         upd = params["update"]
         from pvo_tpu.vo.factor_graph import _use_pallas_corr
-        if _use_pallas_corr():
+        if _use_pallas_corr(video.h, video.w):
             from pvo_tpu.vo.net.pallas_corr import packed_update_params
             upd = packed_update_params(upd)
         self.params = {"fnet": params["fnet"], "cnet": params["cnet"],

@@ -105,6 +105,10 @@ def _lookup_level(vol, coords, radius):
     p11 = patch[..., 1:, 1:]
     out = ((1 - fy) * (1 - fx) * p00 + (1 - fy) * fx * p01 +
            fy * (1 - fx) * p10 + fy * fx * p11)
+    # reference tap order is dx-MAJOR (corr_index_forward_kernel writes
+    # corr[n][i][j] with i = x-offset, correlation_kernels.cu:46-66);
+    # converted checkpoints' corr-encoder weights expect that layout
+    out = jnp.swapaxes(out, -1, -2)
     return out.reshape(E, HW1, w * w)
 
 

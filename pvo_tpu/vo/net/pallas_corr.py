@@ -20,19 +20,19 @@ width, so the flat matmul result (BLK, H_l*128) reshapes to
 
 The public entry falls back to the XLA gather implementation off-TPU.
 
-Performance anatomy (measured on v5e, E=64 @30x101, blk=256 — keep for
-future optimization rounds): the all-pairs MXU matmul costs ~0.65 ms
-and the two batched extraction matmuls ~2.5 ms; the dominant cost
-(~12 of ~16 ms) is the SELECTOR CONSTRUCTION — Mosaic lowers 3D
-iota/compare/select and jnp.stack of 2D rows very slowly (stack alone
-~3 ms per selector). Variants tried and rejected: K-padding the
-batched matmul (no change), transposing the contraction to the lane
-dim (no change), level-merged M=32 batched matmuls (no change — not
-batch-count-bound), flattened (blk*8, X) 2D construction (worse),
-XLA-precomputed selectors as kernel inputs (worse: HBM traffic),
-per-tap VPU mask-reduce (VMEM OOM / Mosaic crashes). A faster kernel
-needs either a Mosaic fix for small-minor-dim 3D ops or a true
-per-sublane dynamic gather primitive.
+Performance anatomy (v5e, E=64 @30x101, blk=256; scripts/corr_exp.py
+ablations, round 2): total ~13 ms = all-pairs corr matmuls ~4.3 +
+extraction matmuls ~5.0 + selector construction ~3 (was ~12 in round 1
+when built from per-dx jnp.roll + jnp.stack; now ONE two-hot compare
+per axis + a matmul against the constant shift bank, see _shift_bank)
++ output stores ~2.5. Round-1 rejected variants (K-padding, transposed
+contraction, level-merged batched matmuls, flattened 2D construction,
+XLA-precomputed selectors, per-tap VPU mask-reduce) plus round-2
+rejected variants: bf16 selectors/extraction (casts + relayouts cost
+more than the MXU-rate gain: 15.8 vs 13.2), sublane-concat merging of
+the 8 bank matmuls into one (worse, concat relayout), dy-major packed
+stores via lane-concat (worse). Mosaic cannot concat 1D vectors at
+all ("input offsets outside of the first tile").
 """
 
 from __future__ import annotations
@@ -83,7 +83,29 @@ def build_padded_pyramid(fmap2, num_levels=4):
     return levels, shapes
 
 
-def _kernel(f1_ref, c_ref, *refs, shapes, blk):
+SHIFT = PATCH
+
+
+def _shift_bank(dtype=jnp.float32):
+    """Constant (LANE, PATCH*LANE) selector bank.
+
+    R[i, d*LANE + j] = 1 iff j == (i + d - SHIFT) mod LANE, for taps
+    d < WIN; the pad tap d in [WIN, PATCH) is all-zero. Multiplying a
+    two-hot row vector Q (carrying the bilinear fraction at shifted
+    lanes p0+SHIFT and p0+SHIFT+1) by R yields, reshaped to
+    (PATCH, LANE), the full bank of WIN blended tap selectors — the
+    per-tap roll/stack construction collapses into one MXU matmul.
+    Entries are 0/1, exact in any dtype.
+    """
+    import numpy as np
+    bank = np.zeros((LANE, PATCH * LANE), np.float32)
+    i = np.arange(LANE)
+    for d in range(WIN):
+        bank[i, d * LANE + (i + d - SHIFT) % LANE] = 1.0
+    return jnp.asarray(bank, dtype)
+
+
+def _kernel(f1_ref, c_ref, r_ref, *refs, shapes, blk):
     """One (edge, query-block) program.
 
     The bilinear blend is BAKED into the two one-hot extraction
@@ -93,10 +115,17 @@ def _kernel(f1_ref, c_ref, *refs, shapes, blk):
         out[q, dy, dx] = A_y'[q] @ corr_rows[q] @ B_x'[q]^T
 
     directly yields the bilinearly-interpolated 7x7 window (padded to
-    8x8; pad rows/cols are all-zero selectors). This removes the
-    (blk, 7, 7) strided blend/stores of the original kernel — the slow
-    part on Mosaic — leaving two batched matmuls and one lane-aligned
-    64-tap store per level.
+    8x8; pad rows/cols are all-zero selectors).
+
+    Both selector banks are built by ONE two-hot compare each plus a
+    matmul against the constant shift bank R (see _shift_bank): Mosaic
+    lowers 3D iota/compare/stack very slowly (~12 of 16 ms/lookup in
+    the previous kernel revision), while the (BLK, LANE) two-hot and
+    the (BLK,LANE)@(LANE,8*LANE) matmul are near-free. Out-of-range
+    taps vanish because (a) lane-wrap lands them in zero-padded f2
+    lanes / sliced-off A_y lanes and (b) a two-hot beyond lane 127
+    compares false everywhere — reproducing the CUDA out-of-bounds
+    semantics with no masks. Requires H_l, W_l <= LANE - PATCH.
     """
     n_lvl = len(shapes)
     lvl_refs = refs[:n_lvl]
@@ -106,6 +135,24 @@ def _kernel(f1_ref, c_ref, *refs, shapes, blk):
     # (H_l, LANE, C) f2 levels per program costs ~1.2M VPU ops each
     f1 = f1_ref[0] * jnp.asarray(0.0625, f1_ref.dtype)  # (BLK, C)
     coords = c_ref[0].astype(jnp.float32)             # (BLK, 2)
+    R = r_ref[...]                                    # (LANE, 8*LANE)
+
+    # one iota serves both axes' two-hots on every level. Measured
+    # alternatives (scripts/corr_exp.py): bf16 selectors/extraction
+    # and sublane-merged bank matmuls are all SLOWER (casts/concat
+    # relayouts dominate the MXU-rate gain); per-level f32 wins.
+    ii = jax.lax.broadcasted_iota(jnp.int32, (blk, LANE), 1)
+
+    def _sel(p, frac):
+        """Two-hot selector rows -> full blended tap bank via R."""
+        p0 = p.astype(jnp.int32)[:, None] - RADIUS + SHIFT
+        f = frac[:, None]
+        Q = ((ii == p0).astype(jnp.float32) * (1.0 - f) +
+             (ii == p0 + 1).astype(jnp.float32) * f)  # (BLK, LANE)
+        return jax.lax.dot_general(
+            Q, R, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
+        ).reshape(blk, PATCH, LANE)
 
     for l, (H_l, W_l) in enumerate(shapes):
         f2 = lvl_refs[l][0]                           # (H_l, LANE, C)
@@ -120,41 +167,13 @@ def _kernel(f1_ref, c_ref, *refs, shapes, blk):
             preferred_element_type=jnp.float32)       # (BLK, H_l*LANE)
         corr3 = corr.reshape(blk, H_l, LANE)
 
-        cl = coords / (2.0 ** l)
+        cl = coords * jnp.float32(0.5 ** l)
         x, y = cl[:, 0], cl[:, 1]
         bx = jnp.floor(x)
         by = jnp.floor(y)
-        fx = (x - bx)[:, None, None]
-        fy = (y - by)[:, None, None]
 
-        # y selector with baked bilinear: rows dy in [0, WIN) blend
-        # grid rows py+dy and py+dy+1; pad row WIN..PATCH-1 is zero.
-        iy = jax.lax.broadcasted_iota(jnp.int32, (blk, PATCH, H_l), 2)
-        dy = jax.lax.broadcasted_iota(jnp.int32, (blk, PATCH, H_l), 1)
-        py = by.astype(jnp.int32)[:, None, None] - RADIUS + dy
-        row_ok = (dy < WIN).astype(jnp.float32)
-        A_y = (((iy == py).astype(jnp.float32) * (1.0 - fy) +
-                (iy == py + 1).astype(jnp.float32) * fy) * row_ok)
-
-        # x selector from ONE base one-hot + static lane-rolls.
-        # Q[q, l] = 1[l == px(q) + SHIFT] lives in a SHIFT-lane-shifted
-        # space so taps with px+dx < 0 stay representable; rolling back
-        # by dx - SHIFT aligns tap dx with true columns. Wrapped or
-        # out-of-width selections land in f2's zero-padded lanes
-        # (W_l <= LANE - PATCH always holds), reproducing the
-        # out-of-range => 0 semantics with no extra masks. This is
-        # ~8x cheaper than materializing 8 per-tap one-hot compares.
-        SHIFT = PATCH
-        ix1 = jax.lax.broadcasted_iota(jnp.int32, (blk, LANE), 1)
-        px0 = bx.astype(jnp.int32)[:, None] - RADIUS + SHIFT
-        Q = (ix1 == px0).astype(jnp.float32)          # (BLK, LANE)
-        rolls = [jnp.roll(Q, dx - SHIFT, axis=-1)
-                 for dx in range(PATCH)]              # dx and dx+1 taps
-        fx1 = fx[:, :, 0]                             # (BLK, 1)
-        B_x = jnp.stack(
-            [(1.0 - fx1) * rolls[dx] + fx1 * rolls[dx + 1]
-             for dx in range(WIN)] + [jnp.zeros_like(Q)],
-            axis=1)                                   # (BLK, 8, LANE)
+        A_y = _sel(by, y - by)[:, :, :H_l]            # (BLK, 8, H_l)
+        B_x = _sel(bx, x - bx)                        # (BLK, 8, LANE)
 
         # batched extraction: rows then columns
         tmp = jax.lax.dot_general(
@@ -204,10 +223,17 @@ def pallas_corr_lookup(fmap1, fmap2, coords, num_levels=4, blk=256,
 
     out_ch = num_levels * TAPS
 
+    # the y two-hot relies on wrapped (negative) rows landing in lanes
+    # that the [:H_l] slice drops — same roll-safety bound as width
+    assert H <= LANE - PATCH, \
+        f"level-0 height {H} exceeds roll-safe lane padding"
+
     in_specs = [
         pl.BlockSpec((1, blk, C), lambda e, b: (e, b, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, blk, 2), lambda e, b: (e, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((LANE, PATCH * LANE), lambda e, b: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     for (H_l, _), lvl in zip(shapes, levels):
@@ -225,15 +251,16 @@ def pallas_corr_lookup(fmap1, fmap2, coords, num_levels=4, blk=256,
                                lambda e, b: (e, b, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(f1, cfl, *levels)
+    )(f1, cfl, _shift_bank(fmap1.dtype), *levels)
 
     if packed:
         return out[:, :HW].reshape(E, H, W, out_ch)
 
-    # padded (8x8) tap blocks -> the public 49-tap/level layout
+    # padded (8x8) tap blocks -> the public layout (level-major,
+    # dx-major taps, matching the reference CUDA channel order)
     out = out[:, :HW].reshape(E, H, W, num_levels, PATCH, PATCH)
-    out = out[..., :WIN, :WIN].reshape(E, H, W, num_levels * WIN * WIN)
-    return out
+    out = out[..., :WIN, :WIN].transpose(0, 1, 2, 3, 5, 4)
+    return out.reshape(E, H, W, num_levels * WIN * WIN)
 
 
 def _kernel_path(node, prefix=()):
@@ -262,7 +289,12 @@ def expand_corr_weights(params_update, num_levels=4):
     correlation conv (1x1, 196 -> 128) to accept the packed
     ``num_levels*64``-channel tap layout. Mathematically identical:
     pad input channels (dy==7 or dx==7) are exactly zero in the packed
-    kernel output, and their weight rows are zero here."""
+    kernel output, and their weight rows are zero here.
+
+    Source channels follow the reference CUDA order (level-major,
+    dx-major within a level, correlation_kernels.cu:46-66); packed
+    channels are dy-major (see _kernel's store layout).
+    """
     import numpy as np
 
     def _expand(kernel):
@@ -272,7 +304,7 @@ def expand_corr_weights(params_update, num_levels=4):
         new = jnp.zeros((kh, kw, num_levels * TAPS, cout), kernel.dtype)
         src = np.arange(num_levels * WIN * WIN)
         l, r = src // (WIN * WIN), src % (WIN * WIN)
-        dy, dx = r // WIN, r % WIN
+        dx, dy = r // WIN, r % WIN
         dst = l * TAPS + dy * PATCH + dx
         return new.at[:, :, dst, :].set(kernel)
 

@@ -101,8 +101,48 @@ class PanopticFPN(nn.Module):
 # ---------------- flow transport (device) ----------------
 
 
+def pose_transport_depth(depth, pose_ref_w2c, pose_cur_w2c,
+                         intrinsics):
+    """Reproject a reference depth map into the current camera.
+
+    Reference pose_transport_depth (panoptic_fpn.py:388-408): lift
+    every reference pixel to a 3D camera point, move it through the
+    relative extrinsics cur_w2c @ inv(ref_w2c), and return the
+    resulting z as the current-frame depth estimate (still laid out on
+    the REFERENCE pixel grid — the caller splats it alongside the
+    features, depth_proj_op path).
+
+    depth: (H, W); pose_*_w2c: (4, 4) world-to-camera matrices;
+    intrinsics: (fx, fy, cx, cy).
+    """
+    H, W = depth.shape
+    fx, fy, cx, cy = [jnp.asarray(v, jnp.float32) for v in intrinsics]
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    Z = depth.astype(jnp.float32)
+    X = (u - cx) / fx * Z
+    Y = (v - cy) / fy * Z
+    pts = jnp.stack([X, Y, Z, jnp.ones_like(Z)], 0).reshape(4, -1)
+    rel = pose_cur_w2c @ jnp.linalg.inv(pose_ref_w2c)
+    z1 = (rel @ pts)[2]
+    return z1.reshape(H, W)
+
+
+def _bitcompat_uint16(fl):
+    """numpy-style float -> uint16 C-cast (truncate, wrap mod 2^16).
+
+    The reference's npy-flow path does ``flow.astype(np.uint16)``
+    before the splat (panoptic_fpn.py:313-314), so NEGATIVE flow
+    components wrap to huge offsets and those pixels fall out of
+    bounds. Reproduced here for bit-compat replay of reference
+    outputs.
+    """
+    return jnp.bitwise_and(
+        jnp.trunc(fl).astype(jnp.int32), 0xFFFF).astype(jnp.float32)
+
+
 def flow_warp_features(feats: Dict[str, jnp.ndarray], flow,
-                       depth=None):
+                       depth=None, bitcompat=False):
     """Forward-splat reference features to the current frame by flow.
 
     feats: {level: (1, h, w, C)} of the REFERENCE frame; flow: (H, W, 2)
@@ -110,16 +150,24 @@ def flow_warp_features(feats: Dict[str, jnp.ndarray], flow,
     pixels are written in far-to-near order so near surfaces win
     (reference flow_transport_feature_with_depth + depth_filter,
     panoptic_fpn.py:346-431).
+
+    bitcompat=True replays the reference's npy-flow quirks exactly
+    (panoptic_fpn.py:310-344): the flow is resized to each FPN level
+    WITHOUT rescaling its pixel values, then C-cast to uint16 —
+    negative flows wrap out of bounds and are dropped. Default False
+    uses the corrected semantics (values rescaled to level pixels,
+    signed truncation).
     """
     H, W = flow.shape[:2]
     out = {}
     for k, f in feats.items():
         h, w, Cc = f.shape[1:]
         fl = jax.image.resize(flow, (h, w, 2), "bilinear")
-        # note: reference resizes WITHOUT rescaling the flow values,
-        # then truncates to int (panoptic_fpn.py:311-330) — but the
-        # flow is in full-res pixels; scale to level pixels.
-        fl = fl * jnp.array([w / W, h / H], fl.dtype)
+        if bitcompat:
+            # reference keeps full-res pixel values at every level
+            fl = _bitcompat_uint16(fl)
+        else:
+            fl = fl * jnp.array([w / W, h / H], fl.dtype)
 
         yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w),
                               indexing="ij")
@@ -242,40 +290,66 @@ class PanopticPredictor:
     panoptic_fpn.py:254-308)."""
 
     def __init__(self, params=None, seed=0, image_hw=(375, 1242),
-                 max_dets=100):
-        self.model = PanopticFPN()
+                 max_dets=100, model_kwargs=None, eager=False):
+        """``model_kwargs``: PanopticFPN overrides (e.g. tiny
+        backbone_blocks for CI); ``eager=True`` skips jit — required
+        on 1-core CPU hosts where the full-model XLA compile is
+        prohibitive (see .claude/skills/verify/SKILL.md)."""
+        self.model = PanopticFPN(**(model_kwargs or {}))
         self.image_hw = image_hw
         self.max_dets = max_dets
         if params is None:
             dummy = jnp.zeros((1,) + tuple(image_hw) + (3,), jnp.float32)
             params = self.model.init(jax.random.PRNGKey(seed), dummy)
         self.params = params
-        self._apply = jax.jit(functools.partial(
+        _jit = (lambda f, **kw: f) if eager else jax.jit
+        self._apply = _jit(functools.partial(
             self.model.apply, max_dets=max_dets))
-        self._feats = jax.jit(
+        self._feats = _jit(
             lambda p, x: self.model.apply(p, x, method="features"))
         self._video_id = None
         self._prev = None  # (feats, image)
+        self._prev_pose = None
         self.combine_kwargs = {}
+        # replay the reference's npy-flow resize/uint16 quirks
+        # (panoptic_fpn.py:310-344) bit-for-bit
+        self.bitcompat_flow = False
+        # reproject ref depth through relative extrinsics before the
+        # depth-ordered splat (reference depth_proj_op path,
+        # panoptic_fpn.py:205-207, :388-408)
+        self.depth_proj = False
+        self.intrinsics = None  # (fx, fy, cx, cy) for depth_proj
 
-    def __call__(self, image_bgr, video_id=None, flow=None, depth=None):
-        """image_bgr: (H, W, 3) float/uint8 BGR. Returns
-        (panoptic (H, W) int32, segments_info, sem_seg, dets)."""
+    def __call__(self, image_bgr, video_id=None, flow=None, depth=None,
+                 pose_w2c=None):
+        """image_bgr: (H, W, 3) float/uint8 BGR. pose_w2c: optional
+        (4, 4) world-to-camera extrinsic for the depth_proj path.
+        Returns (panoptic (H, W) int32, segments_info, sem_seg, dets).
+        """
         x = jnp.asarray(image_bgr, jnp.float32)[None]
         fusion = (flow is not None and video_id is not None and
                   video_id == self._video_id and self._prev is not None)
         if fusion:
             feats_ref = self._prev
+            d = None if depth is None else jnp.asarray(
+                depth, jnp.float32)
+            if (d is not None and self.depth_proj and
+                    pose_w2c is not None and
+                    self._prev_pose is not None):
+                d = pose_transport_depth(
+                    d, jnp.asarray(self._prev_pose, jnp.float32),
+                    jnp.asarray(pose_w2c, jnp.float32),
+                    self.intrinsics)
             warped = flow_warp_features(
-                feats_ref, jnp.asarray(flow, jnp.float32),
-                None if depth is None else jnp.asarray(
-                    depth, jnp.float32))
+                feats_ref, jnp.asarray(flow, jnp.float32), d,
+                bitcompat=self.bitcompat_flow)
             sem_logits, dets = self._apply(self.params, x, warped)
         else:
             sem_logits, dets = self._apply(self.params, x)
 
         self._prev = self._feats(self.params, x)
         self._video_id = video_id
+        self._prev_pose = pose_w2c
 
         sem = np.asarray(jnp.argmax(sem_logits[0], axis=-1))
         dets_np = {k: np.asarray(v) for k, v in dets.items()}

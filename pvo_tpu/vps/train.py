@@ -285,3 +285,47 @@ def make_full_train_step_dp(model: PanopticFPN, tx, mesh, **loss_kw):
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     return jax.jit(step, donate_argnums=(0,)), data, repl
+
+
+def dryrun_dp(n_devices=None, H=64, W=96):
+    """Compile + run ONE data-parallel full-model VPS train step on an
+    n_devices mesh at tiny shapes (driver multi-chip validation;
+    VO counterpart: parallel/data_parallel.dryrun). Returns metrics."""
+    from jax.sharding import Mesh
+
+    devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    mesh = Mesh(np.asarray(devices), ("data",))
+    n = len(devices)
+
+    key = jax.random.PRNGKey(0)
+    model = PanopticFPN(backbone_blocks=(1, 1, 1, 1))
+
+    # H, W must be divisible by the FPN's largest stride (32)
+    masks = np.zeros((4, H, W), np.float32)
+    masks[0, 4:20, 4:20] = 1.0
+    masks[1, 6:24, 10:30] = 1.0
+    one = {
+        "image": jax.random.normal(key, (1, H, W, 3)) * 20 + 90,
+        "gt_boxes": jnp.asarray(
+            [[4., 4., 20., 20.], [10., 6., 30., 24.],
+             [0., 0., 1., 1.], [0., 0., 1., 1.]]),
+        "gt_classes": jnp.asarray([1, 2, 0, 0]),
+        "gt_valid": jnp.asarray([True, True, False, False]),
+        "sem_labels": jnp.ones((1, H, W), jnp.int32) * 3,
+        "gt_masks": jnp.asarray(masks),
+    }
+
+    params = model.init(key, one["image"])
+    tx = make_solver(base_lr=1e-3)
+    state = TrainState(params, tx.init(params),
+                       jnp.zeros((), jnp.int32))
+    step, data_sh, repl_sh = make_full_train_step_dp(
+        model, tx, mesh, max_props=32, pre_nms_topk=64)
+
+    batch = jax.tree.map(
+        lambda x: jax.device_put(
+            jnp.broadcast_to(x[None], (n,) + x.shape), data_sh), one)
+    state = jax.tree.map(lambda x: jax.device_put(x, repl_sh), state)
+    state, metrics = step(state, batch)
+    jax.block_until_ready(state.params)
+    return {k: float(v) for k, v in metrics.items()}

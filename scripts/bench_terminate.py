@@ -1,0 +1,69 @@
+"""Benchmark: VOSystem.terminate (2 global-BA passes + trajectory
+filler) at >= 100 keyframes on the available accelerator
+(VERDICT round-1 weak #5: this stage had no measured number).
+
+Tracks ~3N synthetic frames with keyframe-everything settings so the
+video holds N keyframes, then times terminate() wall-clock (the stage
+is a handful of long device programs, so wall-clock is representative
+despite relay jitter; run twice and keep the second).
+
+Usage: python -u scripts/bench_terminate.py [n_keyframes]
+Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.abspath(".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from bench import synth_stream  # noqa: E402
+
+
+def run_once(n_kf, H=240, W=808):
+    from pvo_tpu.utils.config import VOConfig
+    from pvo_tpu.vo.system import VOSystem
+
+    cfg = VOConfig(image_size=(H, W), buffer=max(n_kf + 8, 64),
+                   filter_thresh=0.01, keyframe_thresh=0.0,
+                   warmup=12, segm_filter=True)
+    sysm = VOSystem(cfg)
+    frames = list(synth_stream(n_kf, H, W))
+    for (t, img, intr, segm) in frames:
+        sysm.track(t, img, intr, segments=segm)
+    kf = sysm.video.counter
+
+    t0 = time.monotonic()
+    traj = sysm.terminate(iter(frames))
+    dt = time.monotonic() - t0
+    assert np.all(np.isfinite(traj)), "terminate produced non-finite"
+    return kf, dt
+
+
+def main():
+    n_kf = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+
+    kf, cold = run_once(n_kf)
+    kf, warm = run_once(n_kf)
+
+    print(json.dumps({
+        "metric": "vo_terminate_seconds",
+        "value": round(warm, 3),
+        "unit": f"s @ {kf} keyframes, 240x808 (warm; cold "
+                f"{round(cold, 1)}s incl. compile)",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

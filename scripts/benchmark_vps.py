@@ -26,6 +26,10 @@ def main():
     args = p.parse_args()
 
     import jax
+    import os
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath(".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from pvo_tpu.vps.panoptic_fpn import PanopticPredictor
 

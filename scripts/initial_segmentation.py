@@ -31,6 +31,10 @@ def main():
                             "Scene20"])
     p.add_argument("--views", nargs="+",
                    default=["clone", "15-deg-left"])
+    p.add_argument("--tiny", action="store_true",
+                   help="1-block backbone, eager apply (CI on CPU)")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="downscale factor for inference images")
     args = p.parse_args()
 
     import cv2
@@ -52,9 +56,15 @@ def main():
             os.makedirs(out_dir, exist_ok=True)
             for f in imgs:
                 img = cv2.imread(f)  # BGR like detectron2 input
+                if args.scale != 1.0:
+                    img = cv2.resize(img, None, fx=args.scale,
+                                     fy=args.scale)
                 if predictor is None:
+                    mk = ({"backbone_blocks": (1, 1, 1, 1)}
+                          if args.tiny else None)
                     predictor = PanopticPredictor(
-                        image_hw=img.shape[:2])
+                        image_hw=img.shape[:2], model_kwargs=mk,
+                        eager=args.tiny)
                 pan, _, _, _ = predictor(img)
                 name = osp.basename(f).replace(".jpg", ".png")
                 Image.fromarray(id2rgb(pan)).save(

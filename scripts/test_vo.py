@@ -76,6 +76,10 @@ def main():
     p.add_argument("--backend_nms", type=int, default=3)
     p.add_argument("--beta", type=float, default=0.6)
     p.add_argument("--shared_data", default="shared_data")
+    p.add_argument("--image_size", type=int, nargs=2,
+                   default=[240, 808],
+                   help="processing size (H W); reference protocol "
+                        "is 240x808 (test_vo.py:26)")
     args = p.parse_args()
 
     # Scene20 uses a stricter dynamic threshold (reference
@@ -91,6 +95,7 @@ def main():
     import jax.numpy as jnp
 
     cfg = VOConfig(
+        image_size=tuple(args.image_size),
         buffer=args.buffer, segm_filter=args.segm_filter,
         thresh=args.thresh, filter_thresh=args.filter_thresh,
         warmup=args.warmup, keyframe_thresh=args.keyframe_thresh,

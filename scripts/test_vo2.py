@@ -27,6 +27,13 @@ def main():
     p.add_argument("--mode", default="val")
     p.add_argument("--iters", type=int, default=15)
     p.add_argument("--shared_data", default="shared_data")
+    p.add_argument("--image_size", type=int, nargs=2,
+                   default=[376, 1248],
+                   help="network input size (reference test_vo2 "
+                        "geometry is 376x1248)")
+    p.add_argument("--flow_size", type=int, nargs=2,
+                   default=[375, 1242],
+                   help="full-flow .npy output size (vkitti native)")
     args = p.parse_args()
 
     import cv2
@@ -45,7 +52,7 @@ def main():
                                        "frames/rgb/Camera_0/*.jpg")))
     poses = vkitti_poses_tq(osp.join(base, "extrinsic.txt"))
 
-    H, W = 376, 1248
+    H, W = args.image_size
     h, w = H // 8, W // 8
     intr = VKITTI_INTRINSICS.copy()
 
@@ -100,8 +107,9 @@ def main():
 
         flows, disps_up = jfwd(params, p2, imgs, disps, intr8)
         flow = np.asarray(flows[0, 0])  # edge 0->1 at 1/8 res
-        flow_full = cv2.resize(flow * 8.0, (1242, 375))
-        flow_full *= np.array([1242 / W, 375 / H], np.float32)
+        FH, FW = args.flow_size
+        flow_full = cv2.resize(flow * 8.0, (FW, FH))
+        flow_full *= np.array([FW / W, FH / H], np.float32)
 
         name = osp.basename(images[t]).split(".")[0]
         np.save(osp.join(flow_dir, f"{scene}_{name}.npy"), flow_full)

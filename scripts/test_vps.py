@@ -31,6 +31,10 @@ def main():
     p.add_argument("--shared_data", default="shared_data")
     p.add_argument("--view", default="clone")
     p.add_argument("--use_depth", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="1-block backbone, eager apply (CI on CPU)")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="downscale factor for inference images")
     args = p.parse_args()
 
     import cv2
@@ -64,13 +68,21 @@ def main():
 
     for k, f in enumerate(imgs):
         img = cv2.imread(f)
+        if args.scale != 1.0:
+            img = cv2.resize(img, None, fx=args.scale, fy=args.scale)
         if predictor is None:
-            predictor = PanopticPredictor(image_hw=img.shape[:2])
+            mk = ({"backbone_blocks": (1, 1, 1, 1)}
+                  if args.tiny else None)
+            predictor = PanopticPredictor(
+                image_hw=img.shape[:2], model_kwargs=mk,
+                eager=args.tiny)
         name = osp.basename(f).split(".")[0]
         flow = None
         fp = osp.join(flow_dir, f"{scene}_{name}.npy")
         if k > 0 and osp.exists(fp):
             flow = np.load(fp)
+            if args.scale != 1.0:
+                flow = cv2.resize(flow, img.shape[:2][::-1]) * args.scale
         pan, segs, _, _ = predictor(img, video_id=scene, flow=flow)
 
         # id propagation: warp previous fused map, match
@@ -94,6 +106,13 @@ def main():
     if gts:
         gts = gts[train_n:train_n + val_n]
         gt_maps = [rgb2id(np.array(Image.open(g))) for g in gts]
+        if args.scale != 1.0:
+            # predictions were made at reduced scale; match GT size
+            # with nearest-neighbor id-preserving upsampling
+            gh, gw = gt_maps[0].shape
+            final_maps = [cv2.resize(m, (gw, gh),
+                                     interpolation=cv2.INTER_NEAREST)
+                          for m in final_maps]
         gt_segs = []
         for g in gt_maps:
             segs = []

@@ -1,0 +1,62 @@
+"""Device-op trace of the steady-state tracking loop: runs the bench
+loop, traces a few frames, prints the top device ops. The stable perf
+signal under relay-latency drift (see docs/PERF.md).
+
+Usage: python -u scripts/trace_track.py [n_traced_frames]
+"""
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.abspath(".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    import tempfile
+
+    from bench import synth_stream
+    from scripts.kbench import _device_op_totals
+    from pvo_tpu.utils.config import VOConfig
+    from pvo_tpu.vo.system import VOSystem
+
+    n_trace = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    H, W = 240, 808
+    n_warm = 26
+
+    cfg = VOConfig(image_size=(H, W), buffer=128,
+                   filter_thresh=0.01, keyframe_thresh=0.0,
+                   warmup=12, segm_filter=True)
+    sysm = VOSystem(cfg)
+
+    frames = list(synth_stream(n_warm + n_trace, H, W))
+    for (t, img, intr, segm) in frames[:n_warm]:
+        sysm.track(t, img, intr, segments=segm)
+
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for (t, img, intr, segm) in frames[n_warm:]:
+                sysm.track(t, img, intr, segments=segm)
+            jax.block_until_ready(sysm.video.poses)
+        agg, cnt = _device_op_totals(td)
+
+    total = sum(v for k, v in agg.items() if k.startswith("jit_"))
+    print(f"\n=== {n_trace} frames, device total "
+          f"{total / 1e3:.1f} ms ({total / 1e3 / n_trace:.1f} "
+          f"ms/frame) ===")
+    for name, v in agg.most_common(40):
+        print(f"  {v / 1e3:9.3f} ms {cnt[name]:5d}x  {name[:90]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,8 +19,10 @@ def naive_lookup(vol, coords, radius):
         for p in range(HW1):
             x, y = coords[e, p]
             k = 0
-            for dy in range(-radius, radius + 1):
-                for dx in range(-radius, radius + 1):
+            # dx-major tap order, matching the reference CUDA kernel
+            # (correlation_kernels.cu:46-66)
+            for dx in range(-radius, radius + 1):
+                for dy in range(-radius, radius + 1):
                     xs, ys = x + dx, y + dy
                     x0, y0 = int(np.floor(xs)), int(np.floor(ys))
                     fx, fy = xs - x0, ys - y0
