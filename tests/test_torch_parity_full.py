@@ -133,7 +133,9 @@ def _ref_modules():
 
 # ----------------------------------------------------------------- test
 
-F_FRAMES, H, W = 5, 48, 64
+# 1/8-res must be >= 16x16 or the reference CorrBlock's 4-level
+# avg_pool chain underflows (corr.py:34-38)
+F_FRAMES, H, W = 5, 128, 128
 h, w = H // 8, W // 8
 NUM_STEPS = 5
 
