@@ -71,7 +71,7 @@ def vkitti_poses_tq(path, camera=0, depth_scale=VKITTI_DEPTH_SCALE):
     from pvo_tpu.lie import se3
     import jax.numpy as jnp
     mats = load_vkitti_extrinsics(path, camera)
-    g = np.asarray(se3.from_matrix(jnp.asarray(mats)))
+    g = np.array(se3.from_matrix(jnp.asarray(mats)))  # writable copy
     g[:, :3] /= depth_scale
     return g.astype(np.float32)
 

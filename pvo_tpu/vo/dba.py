@@ -166,36 +166,66 @@ def dba(poses, disps, intrinsics, target, weight, eta, ii, jj, valid,
             ok_pm = (pm >= 0) & (pm < P)
 
             # structured Schur terms: (a) self x self per depth frame,
-            # (b) self x edge, (c) edge x edge over same-source pairs —
-            # batched into ONE einsum over the stacked (K+E+PR) rows
-            # (all share the xdh,xh,xeh->xde contraction)
+            # (b) self x edge — batched into one einsum (both share
+            # the xdh,xh,xeh->xde contraction)
             Ei_e = Ei_m[jnp.clip(m, 0, K - 1)]          # (E, 6, HW)
             Q_e = Q[jnp.clip(m, 0, K - 1)]              # (E, HW)
-            Ga = Ej[pairs_a]                            # (PR, 6, HW)
-            Qp = Q_e[pairs_a]
 
-            L = jnp.concatenate([Ei_m, Ei_e, Ga])       # (K+E+PR,6,HW)
-            Qs = jnp.concatenate([Q, Q_e, Qp])
-            Rr = jnp.concatenate([Ei_m, Ej, Ej[pairs_b]])
+            L = jnp.concatenate([Ei_m, Ei_e])           # (K+E, 6, HW)
+            Qs = jnp.concatenate([Q, Q_e])
+            Rr = jnp.concatenate([Ei_m, Ej])
             SS = jnp.einsum("xdh,xh,xeh->xde", L, Qs, Rr)
             SSa = SS[:K]
-            SSb = SS[K:K + E]
-            SSc = SS[K + E:]
+            SSb = SS[K:]
 
-            pj_a = pj[pairs_a]
-            pj_b = pj[pairs_b]
-            ok_pair = (pairs_valid & (pj_a >= 0) & (pj_a < P) &
-                       (pj_b >= 0) & (pj_b < P))
             ok_bm = ok_i & ok_j & ok_m
-
-            # ONE scatter for all four Schur placements
             sidx = jnp.concatenate([
                 _sidx(pm, pm, ok_pm), _sidx(pi, pj, ok_bm),
-                _sidx(pj, pi, ok_bm), _sidx(pj_a, pj_b, ok_pair)])
+                _sidx(pj, pi, ok_bm)])
             Sdat = jnp.concatenate([
-                SSa, SSb, jnp.swapaxes(SSb, -1, -2), SSc])
-            S = H.reshape(P * P, D, D) - jax.ops.segment_sum(
-                Sdat, sidx, num_segments=P * P + 1)[:P * P]
+                SSa, SSb, jnp.swapaxes(SSb, -1, -2)])
+            S_sum = jax.ops.segment_sum(
+                Sdat, sidx, num_segments=P * P + 1)
+
+            # (c) edge x edge over same-source pairs, CHUNKED: the
+            # gathered (PR, 6, HW) operands at backend scale (PR up to
+            # 512k pairs) would need tens of GB of HBM in one shot —
+            # this OOM'd terminate at 100 keyframes. Stream pair
+            # chunks through a fori_loop accumulator instead.
+            PR = pairs_a.shape[0]
+            CH = min(PR, 2048)
+            # dynamic_slice clamps at the end — a ragged tail would
+            # double-count; bucket sizes are powers of two so CH
+            # always divides PR
+            assert PR % CH == 0, (PR, CH)
+            n_chunks = PR // CH
+
+            def pair_body(c, acc):
+                o = c * CH
+                pa_c = jax.lax.dynamic_slice_in_dim(pairs_a, o, CH)
+                pb_c = jax.lax.dynamic_slice_in_dim(pairs_b, o, CH)
+                pv_c = jax.lax.dynamic_slice_in_dim(pairs_valid, o, CH)
+                Ga = Ej[pa_c]
+                Gb = Ej[pb_c]
+                Qp = Q_e[pa_c]
+                SSc = jnp.einsum("pdh,ph,peh->pde", Ga, Qp, Gb)
+                pj_a = pj[pa_c]
+                pj_b = pj[pb_c]
+                ok_c = (pv_c & (pj_a >= 0) & (pj_a < P) &
+                        (pj_b >= 0) & (pj_b < P))
+                return acc + jax.ops.segment_sum(
+                    SSc, _sidx(pj_a, pj_b, ok_c),
+                    num_segments=P * P + 1)
+
+            if PR > CH:
+                # pad slices read within the padded bucket; pairs_valid
+                # masks them
+                S_sum = jax.lax.fori_loop(0, n_chunks, pair_body,
+                                          S_sum)
+            else:
+                S_sum = pair_body(0, S_sum)
+
+            S = H.reshape(P * P, D, D) - S_sum[:P * P]
             S = S.reshape(P, P, D, D)
 
             # rhs correction: v - E Q w (self + edge terms batched)

@@ -103,7 +103,7 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
                  net, target_cam, raw_mask, delta_dy,
                  ii, jj, valid, w0, seg_thresh,
                  update_apply, agg_apply, K, S_MAX, segm_filter,
-                 corr_chunk=16):
+                 corr_chunk=16, corr_vols=None):
     """One recurrent update over all (padded) edges (traced helper).
 
     Returns new (net, target_cam, weight, raw_mask, delta_dy, full_flow,
@@ -129,7 +129,13 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
     ], axis=-1)
     motn = jnp.clip(motn, -64.0, 64.0)
 
-    if _use_pallas_corr(h, w):
+    if corr_vols is not None:
+        from pvo_tpu.vo.net.pallas_corr import pallas_corr_extract
+        # volume cache: the all-pairs matmuls were hoisted out of the
+        # per-step loop (the volumes depend only on the feature maps)
+        vols, vshapes = corr_vols
+        corr = pallas_corr_extract(vols, vshapes, coords1, packed=True)
+    elif _use_pallas_corr(h, w):
         from pvo_tpu.vo.net.pallas_corr import pallas_corr_lookup
         # packed 64-tap/level layout; params were expanded to match
         # (packed_update_params in FactorGraph.__init__)
@@ -335,6 +341,13 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
         jnp.where(fm, nets_buf[ii_r].astype(jnp.float32),
                   net_full[:EB]))
 
+    # NOTE: hoisting the all-pairs volumes out of the step loop
+    # (build_corr_volumes + pallas_corr_extract) measured perf-NEUTRAL
+    # here — extraction saved ~13 ms/frame but XLA copies + the build
+    # ate it — while holding ~1.4 GB of HBM (docs/PERF.md). Volumes
+    # stay transient per lookup.
+    corr_vols = None
+
     def one_step(_, carry):
         (poses, disps, damping, net_full, target_full, weight_full,
          raw_full, dy_full, flow_full) = carry
@@ -354,7 +367,7 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
                 net_full[:EB].astype(jnp.float32), target_full[:EB],
                 raw_full[:EB], dy_full[:EB], ii_r, jj_r, valid_r, w0,
                 seg_thresh, update_apply, agg_apply, K, S_MAX,
-                segm_filter, corr_chunk)
+                segm_filter, corr_chunk, corr_vols=corr_vols)
 
         net_full = net_full.at[:EB].set(net.astype(net_full.dtype))
         target_full = target_full.at[:EB].set(target)
@@ -443,17 +456,15 @@ def _rm_edges_kernel(net, target, weight, raw, dy, flow, t_inac,
     fd = fresh_drop[:, None, None, None]
     t_new = target[drop_idx]
     w_new = jnp.where(fd, 0.0, weight[drop_idx])
-    t_inac = jnp.concatenate(
-        [t_inac, jnp.zeros_like(t_inac[:1])], 0).at[rows].set(
-            t_new)[:MI]
-    w_inac = jnp.concatenate(
-        [w_inac, jnp.zeros_like(w_inac[:1])], 0).at[rows].set(
-            w_new)[:MI]
+    # out-of-bounds rows (the padded pairs' dead writes) are DROPPED —
+    # the old concat-a-spare-row trick duplicated the whole buffer
+    # (+6 GB on the backend's 8192-edge net) and OOM'd terminate
+    t_inac = t_inac.at[rows].set(t_new, mode="drop")
+    w_inac = w_inac.at[rows].set(w_new, mode="drop")
 
     def compact(buf):
         vals = buf[src]
-        return jnp.concatenate(
-            [buf, jnp.zeros_like(buf[:1])], 0).at[dst].set(vals)[:E]
+        return buf.at[dst].set(vals.astype(buf.dtype), mode="drop")
 
     return (compact(net), compact(target), compact(weight),
             compact(raw), compact(dy), compact(flow), t_inac, w_inac)
@@ -583,6 +594,16 @@ class FactorGraph:
         mask = np.asarray(mask, bool)
         k = int(mask.sum())
         if k == 0:
+            return
+        if not store and k == len(mask) == self.n_edges:
+            # dropping EVERYTHING with nothing to preserve: the device
+            # buffers' contents are dead — host bookkeeping only (the
+            # backend's clear_edges at the 8192-edge bucket otherwise
+            # pays a pointless multi-GB compaction kernel)
+            self.ii = np.zeros(0, np.int64)
+            self.jj = np.zeros(0, np.int64)
+            self.age = np.zeros(0, np.int64)
+            self.fresh = np.zeros(0, bool)
             return
         drop_idx = np.nonzero(mask)[0]
         ni = len(self.ii_inac)

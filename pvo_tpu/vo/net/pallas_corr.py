@@ -193,10 +193,143 @@ def _kernel(f1_ref, c_ref, r_ref, *refs, shapes, blk):
             out_ref[0, :, base:base + PATCH] = patch[:, dy, :]
 
 
+def _extract_kernel(c_ref, r_ref, *refs, shapes, blk):
+    """Extraction-only variant of :func:`_kernel`: reads PRE-BUILT
+    correlation volume blocks instead of computing the all-pairs
+    matmul. Used by the frontend's volume cache — the volume depends
+    only on the feature maps, so the 4+2 update iterations of one
+    keyframe share one build (the matmul was ~1/3 of each lookup)."""
+    n_lvl = len(shapes)
+    vol_refs = refs[:n_lvl]
+    out_ref = refs[n_lvl]
+
+    coords = c_ref[0].astype(jnp.float32)             # (BLK, 2)
+    R = r_ref[...]
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (blk, LANE), 1)
+
+    def _sel(p, frac):
+        p0 = p.astype(jnp.int32)[:, None] - RADIUS + SHIFT
+        f = frac[:, None]
+        Q = ((ii == p0).astype(jnp.float32) * (1.0 - f) +
+             (ii == p0 + 1).astype(jnp.float32) * f)
+        return jax.lax.dot_general(
+            Q, R, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
+        ).reshape(blk, PATCH, LANE)
+
+    for l, (H_l, W_l) in enumerate(shapes):
+        corr3 = vol_refs[l][0].astype(jnp.float32)    # (BLK, H_l, LANE)
+
+        cl = coords * jnp.float32(0.5 ** l)
+        x, y = cl[:, 0], cl[:, 1]
+        bx = jnp.floor(x)
+        by = jnp.floor(y)
+
+        A_y = _sel(by, y - by)[:, :, :H_l]
+        B_x = _sel(bx, x - bx)
+
+        tmp = jax.lax.dot_general(
+            A_y, corr3,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        patch = jax.lax.dot_general(
+            tmp, B_x,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        patch = patch.astype(out_ref.dtype)
+
+        for dy in range(PATCH):
+            base = l * TAPS + dy * PATCH
+            out_ref[0, :, base:base + PATCH] = patch[:, dy, :]
+
+
+def build_corr_volumes(fmap1, fmap2, num_levels=4, blk=256):
+    """All-pairs correlation volumes, padded for the extraction kernel.
+
+    Returns (vols, shapes): vols[l] is (E, HWp, H_l, LANE) bf16 (the
+    reference's CorrBlock materializes fp16 volumes the same way,
+    corr.py:29-38) with both 0.25 prescales applied; shapes[l] the true
+    (H_l, W_l).
+    """
+    E, H, W, C = fmap1.shape
+    HW = H * W
+    HWp = ((HW + blk - 1) // blk) * blk
+    levels, shapes = build_padded_pyramid(fmap2, num_levels)
+
+    f1 = fmap1.reshape(E, HW, C) * jnp.asarray(0.0625, fmap1.dtype)
+    if HWp != HW:
+        f1 = jnp.concatenate(
+            [f1, jnp.zeros((E, HWp - HW, C), f1.dtype)], axis=1)
+
+    vols = []
+    for (H_l, _), lvl in zip(shapes, levels):
+        f2f = lvl.reshape(E, H_l * LANE, C)
+        v = jax.lax.dot_general(
+            f1, f2f, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (E, HWp, H_l*128)
+        vols.append(v.astype(jnp.bfloat16).reshape(E, HWp, H_l, LANE))
+    return vols, shapes
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("shapes", "blk", "interpret",
+                                    "packed"))
+def pallas_corr_extract(vols, shapes, coords, blk=256,
+                        interpret=False, packed=False):
+    """Windowed lookup from pre-built volumes (see build_corr_volumes).
+
+    coords: (E, H, W, 2) level-0 target coords. Output layout matches
+    :func:`pallas_corr_lookup` (values are bf16-volume-rounded, like
+    the reference's fp16 CorrBlock).
+    """
+    E, H, W, _ = coords.shape
+    HW = H * W
+    num_levels = len(shapes)
+    HWp = vols[0].shape[1]
+    nb = HWp // blk
+
+    cfl = coords.reshape(E, HW, 2)
+    if HWp != HW:
+        cfl = jnp.concatenate(
+            [cfl, jnp.zeros((E, HWp - HW, 2), cfl.dtype)], axis=1)
+
+    out_ch = num_levels * TAPS
+    in_specs = [
+        pl.BlockSpec((1, blk, 2), lambda e, b: (e, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((LANE, PATCH * LANE), lambda e, b: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for (H_l, _) in shapes:
+        in_specs.append(pl.BlockSpec(
+            (1, blk, H_l, LANE), lambda e, b: (e, b, 0, 0),
+            memory_space=pltpu.VMEM))
+
+    out_dtype = jnp.bfloat16 if packed else jnp.float32
+    out = pl.pallas_call(
+        functools.partial(_extract_kernel, shapes=tuple(shapes),
+                          blk=blk),
+        out_shape=jax.ShapeDtypeStruct((E, HWp, out_ch), out_dtype),
+        grid=(E, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, blk, out_ch),
+                               lambda e, b: (e, b, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(cfl, _shift_bank(), *vols)
+
+    if packed:
+        return out[:, :HW].reshape(E, H, W, out_ch)
+    out = out[:, :HW].reshape(E, H, W, num_levels, PATCH, PATCH)
+    out = out[..., :WIN, :WIN].transpose(0, 1, 2, 3, 5, 4)
+    return out.reshape(E, H, W, num_levels * WIN * WIN)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_levels", "blk", "interpret",
                                     "packed"))
-def pallas_corr_lookup(fmap1, fmap2, coords, num_levels=4, blk=256,
+def pallas_corr_lookup(fmap1, fmap2, coords, num_levels=4, blk=128,
                        interpret=False, packed=False):
     """Fused correlation lookup.
 

@@ -28,6 +28,10 @@ class TrajectoryFiller:
         v = self.video
         N = v.counter
         M = len(tstamps)
+        assert N + M <= v.buffer, (
+            f"trajectory filler stages {M} frames past the {N} "
+            f"keyframes; video buffer ({v.buffer}) must be at least "
+            f"keyframes + batch ({self.batch})")
 
         ts = v.tstamp[:N]
         poses = v.poses[:N]

@@ -299,14 +299,29 @@ class PanopticPredictor:
         self.image_hw = image_hw
         self.max_dets = max_dets
         if params is None:
-            dummy = jnp.zeros((1,) + tuple(image_hw) + (3,), jnp.float32)
+            # init at the stride-32-padded shape (see __call__)
+            hw_pad = (image_hw[0] + (-image_hw[0]) % 32,
+                      image_hw[1] + (-image_hw[1]) % 32)
+            dummy = jnp.zeros((1,) + hw_pad + (3,), jnp.float32)
             params = self.model.init(jax.random.PRNGKey(seed), dummy)
         self.params = params
         _jit = (lambda f, **kw: f) if eager else jax.jit
-        self._apply = _jit(functools.partial(
-            self.model.apply, max_dets=max_dets))
+
+        def _run(p, x_u8, feats_warp=None):
+            """On-device wrapper: cast the uint8 image and argmax the
+            semantic logits ON DEVICE — shipping the raw (H, W, S)
+            f32 logits (24 MB at vkitti res) off-device cost ~10x the
+            panoptic stitch itself."""
+            x = x_u8.astype(jnp.float32)
+            sem_logits, dets = self.model.apply(
+                p, x, feats_warp, max_dets=max_dets)
+            sem = jnp.argmax(sem_logits[0], axis=-1).astype(jnp.int32)
+            return sem, dets
+
+        self._apply = _jit(_run)
         self._feats = _jit(
-            lambda p, x: self.model.apply(p, x, method="features"))
+            lambda p, x_u8: self.model.apply(
+                p, x_u8.astype(jnp.float32), method="features"))
         self._video_id = None
         self._prev = None  # (feats, image)
         self._prev_pose = None
@@ -325,8 +340,21 @@ class PanopticPredictor:
         """image_bgr: (H, W, 3) float/uint8 BGR. pose_w2c: optional
         (4, 4) world-to-camera extrinsic for the depth_proj path.
         Returns (panoptic (H, W) int32, segments_info, sem_seg, dets).
+
+        Inputs whose H/W are not multiples of the FPN's largest
+        stride (32) are zero-padded bottom/right like detectron2's
+        ImageList.from_tensors(size_divisibility) and the semantic
+        logits cropped back.
         """
-        x = jnp.asarray(image_bgr, jnp.float32)[None]
+        H0, W0 = image_bgr.shape[:2]
+        ph = (-H0) % 32
+        pw = (-W0) % 32
+        image_bgr = np.asarray(image_bgr)
+        if ph or pw:
+            image_bgr = np.pad(image_bgr, ((0, ph), (0, pw), (0, 0)))
+        # ship uint8 (4x less relay traffic); cast happens on device
+        x = jnp.asarray(np.clip(image_bgr, 0, 255).astype(np.uint8)
+                        )[None]
         fusion = (flow is not None and video_id is not None and
                   video_id == self._video_id and self._prev is not None)
         if fusion:
@@ -343,15 +371,21 @@ class PanopticPredictor:
             warped = flow_warp_features(
                 feats_ref, jnp.asarray(flow, jnp.float32), d,
                 bitcompat=self.bitcompat_flow)
-            sem_logits, dets = self._apply(self.params, x, warped)
+            sem_dev, dets = self._apply(self.params, x, warped)
         else:
-            sem_logits, dets = self._apply(self.params, x)
+            sem_dev, dets = self._apply(self.params, x)
 
         self._prev = self._feats(self.params, x)
         self._video_id = video_id
         self._prev_pose = pose_w2c
 
-        sem = np.asarray(jnp.argmax(sem_logits[0], axis=-1))
+        # overlap the d2h copies: each blocking np.asarray over the
+        # remote relay costs ~an RTT even for ready arrays
+        import jax as _jax
+        for leaf in _jax.tree.leaves(dets) + [sem_dev]:
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        sem = np.asarray(sem_dev)[:H0, :W0]
         dets_np = {k: np.asarray(v) for k, v in dets.items()}
         pan, segs = combine_panoptic(dets_np, sem,
                                      **self.combine_kwargs)

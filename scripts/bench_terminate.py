@@ -34,7 +34,9 @@ def run_once(n_kf, H=240, W=808):
     from pvo_tpu.utils.config import VOConfig
     from pvo_tpu.vo.system import VOSystem
 
-    cfg = VOConfig(image_size=(H, W), buffer=max(n_kf + 8, 64),
+    # +24: the trajectory filler stages 16-frame batches past the
+    # keyframe rows
+    cfg = VOConfig(image_size=(H, W), buffer=max(n_kf + 24, 64),
                    filter_thresh=0.01, keyframe_thresh=0.0,
                    warmup=12, segm_filter=True)
     sysm = VOSystem(cfg)

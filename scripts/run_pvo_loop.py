@@ -75,7 +75,7 @@ def main():
     p.add_argument("--vo_image_size", type=int, nargs=2, default=None)
     args = p.parse_args()
 
-    tiny_vps = (["--tiny", "--scale", "0.25"] if args.tiny else [])
+    tiny_vps = (["--tiny", "--scale", "0.125"] if args.tiny else [])
     vo_size = args.vo_image_size or ([96, 320] if args.tiny
                                      else [240, 808])
     vo2_size = [96, 320] if args.tiny else [376, 1248]
@@ -85,9 +85,13 @@ def main():
     wvo = (["--weights", args.weights_vo] if args.weights_vo else [])
     wvps = (["--weights", args.weights_vps] if args.weights_vps else [])
 
+    # tiny mode: only the 15-deg-left view's initial segmentation is
+    # consumed downstream (test_vo's segment filter); the clone view's
+    # panFPN_segm is produced by the fusion feedback instead
+    views = (["--views", "15-deg-left"] if args.tiny else [])
     run_stage("initial_segmentation.py",
               ["--datapath", args.datapath, "--scenes"] + args.scenes +
-              tiny_vps + wvps)
+              views + tiny_vps + wvps)
 
     for it in range(args.iters):
         print(f"[pvo_loop] ===== iteration {it + 1}/{args.iters} =====",

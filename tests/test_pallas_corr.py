@@ -94,3 +94,28 @@ def test_width_cap_falls_back_to_xla(monkeypatch):
         assert fg._use_pallas_corr()              # shape-agnostic gate
     finally:
         fg._pallas_backend_ok.cache_clear()
+
+
+def test_volume_cache_extract_matches_fused():
+    """build_corr_volumes + pallas_corr_extract == pallas_corr_lookup
+    up to the bf16 volume rounding (the cache stores bf16 volumes,
+    like the reference's fp16 CorrBlock)."""
+    from pvo_tpu.vo.net.pallas_corr import (build_corr_volumes,
+                                            pallas_corr_extract)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(4), 3)
+    f1 = jax.random.normal(k1, (E, H, W, C), jnp.float32)
+    f2 = jax.random.normal(k2, (E, H, W, C), jnp.float32)
+    coords = jnp.stack([
+        jax.random.uniform(k3, (E, H, W), minval=-1.0, maxval=W + 0.5),
+        jax.random.uniform(k3, (E, H, W), minval=-1.0, maxval=H + 0.5),
+    ], axis=-1)
+
+    fused = pallas_corr_lookup(f1, f2, coords, num_levels=3, blk=32,
+                               interpret=True)
+    vols, shapes = build_corr_volumes(f1, f2, num_levels=3, blk=32)
+    ext = pallas_corr_extract(
+        tuple(vols), tuple(tuple(s) for s in shapes), coords, blk=32,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(ext), np.asarray(fused),
+                               rtol=2e-2, atol=2e-2)

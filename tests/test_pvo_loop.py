@@ -29,7 +29,7 @@ def _run(script, args, cwd):
     r = subprocess.run(
         [sys.executable, osp.join(REPO, "scripts", script)] + args,
         cwd=cwd, env=env, capture_output=True, text=True,
-        timeout=3600)
+        timeout=7200)
     assert r.returncode == 0, \
         f"{script} failed:\n{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
     return r
