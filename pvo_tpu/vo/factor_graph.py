@@ -58,16 +58,16 @@ def _pallas_backend_ok():
 
 def _use_pallas_corr(h=None, w=None):
     """Pallas fused corr on TPU (much faster than the XLA gather
-    path); override with PVO_PALLAS_CORR=0/1. Shape-gated: 1/8-res
-    feature maps taller/wider than the kernel's roll-safe lane
-    padding (120) fall back to the XLA path instead of asserting, so
-    arbitrarily wide streams keep tracking."""
+    path); override with PVO_PALLAS_CORR=0/1. Shape-gated: width is
+    handled by the kernel's x-tiling (up to 8 tiles ~ 7168 px wide
+    streams); 1/8-res maps TALLER than the roll-safe lane padding
+    (120, i.e. >960 px) fall back to the XLA path instead of
+    asserting."""
     if not _pallas_backend_ok():
         return False
     if h is not None or w is not None:
-        from pvo_tpu.vo.net.pallas_corr import LANE, PATCH
-        lim = LANE - PATCH
-        if (h or 0) > lim or (w or 0) > lim:
+        from pvo_tpu.vo.net.pallas_corr import LANE, PATCH, TILE_W
+        if (h or 0) > LANE - PATCH or (w or 0) > 8 * TILE_W:
             return False
     return True
 

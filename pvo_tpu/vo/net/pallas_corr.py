@@ -59,26 +59,45 @@ def _pool2(x):
         E, H2, 2, W2, 2, C).mean(axis=(2, 4))
 
 
-def build_padded_pyramid(fmap2, num_levels=4):
-    """Pooled fmap2 levels, each width-padded to LANE columns.
+# width of one x-tile: columns are PARTITIONED over tiles, and the
+# 16 pad lanes absorb both the roll-wrap of left-edge taps and the
+# straddle of windows into the next tile
+TILE_W = LANE - 2 * PATCH  # 112
 
-    Returns (levels, shapes): levels[l] is (E, H_l, LANE, C);
-    shapes[l] = (H_l, W_l) true sizes.
+
+def build_padded_pyramid(fmap2, num_levels=4):
+    """Pooled fmap2 levels, x-TILED and lane-padded.
+
+    Each level is (E, H_l, n_t, LANE, C): its true columns partitioned
+    into ``n_t`` tiles of TILE_W, each zero-padded to LANE lanes.
+    Narrow levels (W_l <= LANE - PATCH) keep a single tile. Wide
+    streams (e.g. the 376x1248 test_vo2 export geometry, w=156) get
+    multiple tiles; a lookup window straddling a tile boundary is
+    reconstructed by SUMMING per-tile extractions — every column is
+    owned by exactly one tile, out-of-tile selections land in zero
+    lanes (see _kernel).
+
+    Returns (levels, shapes) with shapes[l] = (H_l, W_l, n_t).
     """
     levels, shapes = [], []
     f = fmap2
     for _ in range(num_levels):
         E, H, W, C = f.shape
-        # the x-selector's static lane-rolls rely on wrapped (negative
-        # or overflowing) taps landing in zero-padded lanes; widths in
-        # (LANE - PATCH, LANE] would wrap into REAL columns and
-        # silently corrupt left/right-edge windows
-        assert W <= LANE - PATCH, \
-            f"level width {W} exceeds roll-safe lane padding " \
-            f"({LANE - PATCH})"
-        pad = jnp.zeros((E, H, LANE - W, C), f.dtype)
-        levels.append(jnp.concatenate([f, pad], axis=2))
-        shapes.append((H, W))
+        if W <= LANE - PATCH:
+            n_t = 1
+            pad = jnp.zeros((E, H, LANE - W, C), f.dtype)
+            tiled = jnp.concatenate([f, pad], axis=2)[:, :, None]
+        else:
+            n_t = -(-W // TILE_W)
+            wpad = n_t * TILE_W - W
+            fw = jnp.concatenate(
+                [f, jnp.zeros((E, H, wpad, C), f.dtype)], axis=2)
+            tiled = fw.reshape(E, H, n_t, TILE_W, C)
+            tiled = jnp.concatenate(
+                [tiled, jnp.zeros((E, H, n_t, LANE - TILE_W, C),
+                                  f.dtype)], axis=3)
+        levels.append(tiled)
+        shapes.append((H, W, n_t))
         f = _pool2(f)
     return levels, shapes
 
@@ -154,18 +173,9 @@ def _kernel(f1_ref, c_ref, r_ref, *refs, shapes, blk):
             preferred_element_type=jnp.float32
         ).reshape(blk, PATCH, LANE)
 
-    for l, (H_l, W_l) in enumerate(shapes):
-        f2 = lvl_refs[l][0]                           # (H_l, LANE, C)
+    for l, (H_l, W_l, n_t) in enumerate(shapes):
+        f2 = lvl_refs[l][0]                       # (H_l, n_t, LANE, C)
         C = f2.shape[-1]
-
-        # MXU: all-pairs correlation rows for this block (bf16 inputs,
-        # single-pass K=C accumulation; bf16 result rounding matches
-        # the reference's fp16-autocast correlation)
-        corr = jax.lax.dot_general(
-            f1, f2.reshape(H_l * LANE, C),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (BLK, H_l*LANE)
-        corr3 = corr.reshape(blk, H_l, LANE)
 
         cl = coords * jnp.float32(0.5 ** l)
         x, y = cl[:, 0], cl[:, 1]
@@ -173,17 +183,33 @@ def _kernel(f1_ref, c_ref, r_ref, *refs, shapes, blk):
         by = jnp.floor(y)
 
         A_y = _sel(by, y - by)[:, :, :H_l]            # (BLK, 8, H_l)
-        B_x = _sel(bx, x - bx)                        # (BLK, 8, LANE)
 
-        # batched extraction: rows then columns
-        tmp = jax.lax.dot_general(
-            A_y, corr3,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)       # (BLK, 8, LANE)
-        patch = jax.lax.dot_general(
-            tmp, B_x,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)       # (BLK, 8, 8)
+        patch = None
+        for t in range(n_t):
+            # MXU: all-pairs correlation rows against THIS x-tile
+            # (bf16 inputs, single-pass K=C accumulation; bf16 result
+            # rounding matches the reference's fp16-autocast corr)
+            corr = jax.lax.dot_general(
+                f1, f2[:, t].reshape(H_l * LANE, C),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (BLK, H_l*LANE)
+            corr3 = corr.reshape(blk, H_l, LANE)
+
+            # selector in TILE-LOCAL x coordinates: taps owned by
+            # other tiles select this tile's zero-padded lanes, so
+            # summing the per-tile extractions reconstructs windows
+            # that straddle a tile boundary
+            B_x = _sel(bx - (t * TILE_W), x - bx)     # (BLK, 8, LANE)
+
+            tmp = jax.lax.dot_general(
+                A_y, corr3,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)   # (BLK, 8, LANE)
+            p_t = jax.lax.dot_general(
+                tmp, B_x,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)   # (BLK, 8, 8)
+            patch = p_t if patch is None else patch + p_t
         patch = patch.astype(out_ref.dtype)
 
         # 8-lane-aligned stores of the level's 64-tap block (Mosaic
@@ -218,7 +244,7 @@ def _extract_kernel(c_ref, r_ref, *refs, shapes, blk):
             preferred_element_type=jnp.float32
         ).reshape(blk, PATCH, LANE)
 
-    for l, (H_l, W_l) in enumerate(shapes):
+    for l, (H_l, W_l, _n_t) in enumerate(shapes):
         corr3 = vol_refs[l][0].astype(jnp.float32)    # (BLK, H_l, LANE)
 
         cl = coords * jnp.float32(0.5 ** l)
@@ -263,7 +289,9 @@ def build_corr_volumes(fmap1, fmap2, num_levels=4, blk=256):
             [f1, jnp.zeros((E, HWp - HW, C), f1.dtype)], axis=1)
 
     vols = []
-    for (H_l, _), lvl in zip(shapes, levels):
+    for (H_l, _, n_t), lvl in zip(shapes, levels):
+        assert n_t == 1, "volume cache supports narrow streams only"
+        lvl = lvl[:, :, 0]
         f2f = lvl.reshape(E, H_l * LANE, C)
         v = jax.lax.dot_general(
             f1, f2f, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -301,7 +329,7 @@ def pallas_corr_extract(vols, shapes, coords, blk=256,
         pl.BlockSpec((LANE, PATCH * LANE), lambda e, b: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    for (H_l, _) in shapes:
+    for (H_l, _, _n_t) in shapes:
         in_specs.append(pl.BlockSpec(
             (1, blk, H_l, LANE), lambda e, b: (e, b, 0, 0),
             memory_space=pltpu.VMEM))
@@ -357,7 +385,7 @@ def pallas_corr_lookup(fmap1, fmap2, coords, num_levels=4, blk=128,
     out_ch = num_levels * TAPS
 
     # the y two-hot relies on wrapped (negative) rows landing in lanes
-    # that the [:H_l] slice drops — same roll-safety bound as width
+    # that the [:H_l] slice drops; width is handled by x-tiling
     assert H <= LANE - PATCH, \
         f"level-0 height {H} exceeds roll-safe lane padding"
 
@@ -369,9 +397,9 @@ def pallas_corr_lookup(fmap1, fmap2, coords, num_levels=4, blk=128,
         pl.BlockSpec((LANE, PATCH * LANE), lambda e, b: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    for (H_l, _), lvl in zip(shapes, levels):
+    for (H_l, _, n_t), lvl in zip(shapes, levels):
         in_specs.append(pl.BlockSpec(
-            (1, H_l, LANE, C), lambda e, b: (e, 0, 0, 0),
+            (1, H_l, n_t, LANE, C), lambda e, b: (e, 0, 0, 0, 0),
             memory_space=pltpu.VMEM))
 
     out_dtype = jnp.bfloat16 if packed else jnp.float32
