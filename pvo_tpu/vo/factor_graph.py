@@ -288,7 +288,7 @@ def _update_core_chunked(params, poses, disps, intrinsics, fmaps, inps,
     jax.jit,
     donate_argnames=("poses", "disps", "damping", "net_full",
                      "target_full", "weight_full", "raw_full",
-                     "dy_full", "flow_full"),
+                     "dy_full", "flow_full", "t_inac", "w_inac"),
     static_argnames=("update_apply", "agg_apply", "K", "P", "PAIRS",
                      "S_MAX", "segm_filter", "corr_chunk", "EB",
                      "iters", "motion_only", "steps", "steps2", "WD",
@@ -296,9 +296,10 @@ def _update_core_chunked(params, poses, disps, intrinsics, fmaps, inps,
 def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
                 inps, segms, damping,
                 net_full, target_full, weight_full, raw_full, dy_full,
-                flow_full,
+                flow_full, t_inac, w_inac,
                 ii_r, jj_r, valid_r, fresh_mask,
-                extra_target, extra_weight, ii_ba, jj_ba, valid_ba,
+                mv_src, mv_dst, st_src, st_row, st_fresh, gsel, roll,
+                ii_ba, jj_ba, valid_ba,
                 pairs_a, pairs_b, pairs_valid,
                 w0, t0, t1, seg_thresh, damp_fac, EP, lm, ep,
                 dist_i, dist_j, beta, kf_thresh, seed_ix, d0,
@@ -320,6 +321,23 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
     with separate device ops, factor_graph.py:129-157)."""
     F = poses.shape[0]
     h, w = disps.shape[-2:]
+
+    # -------- deferred-retirement prologue --------
+    # apply the pending compaction / ring-store plan (recorded by
+    # rm_factors since the last step) before anything reads the edge
+    # buffers; the BA's inactive extras are then gathered from the
+    # UPDATED ring
+    (net_full, target_full, weight_full, raw_full, dy_full, flow_full,
+     t_inac, w_inac) = _retire_prologue(
+        net_full, target_full, weight_full, raw_full, dy_full,
+        flow_full, t_inac, w_inac, mv_src, mv_dst, st_src, st_row,
+        st_fresh, roll)
+    if gsel.shape[0]:
+        extra_target = t_inac[gsel]
+        extra_weight = w_inac[gsel]
+    else:
+        extra_target = jnp.zeros((0, h, w, 2), jnp.float32)
+        extra_weight = jnp.zeros((0, h, w, 2), jnp.float32)
 
     # -------- fresh-edge initialization --------
     intr_b = jnp.broadcast_to(intrinsics, (1, F, 4))
@@ -431,43 +449,54 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
         packet = d
 
     return (poses, disps, damping, net_full, target_full, weight_full,
-            raw_full, dy_full, flow_full, packet)
+            raw_full, dy_full, flow_full, t_inac, w_inac, packet)
+
+
+def _retire_prologue(net, target, weight, raw, dy, flow, t_inac,
+                     w_inac, mv_src, mv_dst, st_src, st_row, st_fresh,
+                     roll):
+    """Deferred edge-retirement plan, applied in-program: store the
+    dropped edges' (target, weight) into the inactive ring (FIFO roll
+    by ``roll`` first; dead rows — evicted or padded — scatter
+    out-of-bounds and are DROPPED), then SWAP-compact the edge buffers
+    (``mv_dst[i] <- mv_src[i]``, all sources read the pre-compaction
+    layout; padded pairs write to a dead row). Only O(drops) rows move
+    instead of a full-buffer permutation gather (which cost
+    ~12 ms/frame at the tracking loop's buffer sizes). Replaces the
+    round-1 standalone _rm_edges_kernel dispatch (~20 ms/frame of
+    relay overhead)."""
+    if st_src.shape[0]:
+        fd = st_fresh[:, None, None, None]
+        t_new = target[st_src]
+        w_new = jnp.where(fd, 0.0, weight[st_src])
+        t_inac = jnp.roll(t_inac, -roll, axis=0) \
+            .at[st_row].set(t_new, mode="drop")
+        w_inac = jnp.roll(w_inac, -roll, axis=0) \
+            .at[st_row].set(w_new, mode="drop")
+
+    def compact(buf):
+        vals = buf[mv_src]
+        return buf.at[mv_dst].set(vals.astype(buf.dtype), mode="drop")
+
+    if mv_src.shape[0]:
+        net, target, weight, raw, dy, flow = (
+            compact(net), compact(target), compact(weight),
+            compact(raw), compact(dy), compact(flow))
+    return net, target, weight, raw, dy, flow, t_inac, w_inac
 
 
 @functools.partial(
     jax.jit,
     donate_argnames=("net", "target", "weight", "raw", "dy", "flow",
-                     "t_inac", "w_inac"),
-    static_argnames=("DK",))
-def _rm_edges_kernel(net, target, weight, raw, dy, flow, t_inac,
-                     w_inac, src, dst, drop_idx, drop_valid,
-                     fresh_drop, ni, DK):
-    """One device program for edge retirement: store the dropped
-    edges' (target, weight) into the inactive ring at rows
-    [ni, ni+DK), then SWAP-compact — surviving tail rows move into the
-    holes (``dst[i] <- src[i]``; padded pairs write to a dead row).
-    Only O(drops) rows move instead of a full-buffer permutation
-    gather (which cost ~12 ms/frame at the tracking loop's buffer
-    sizes)."""
-    MI = t_inac.shape[0]
-    E = net.shape[0]
-    rows = jnp.where(drop_valid, ni + jnp.arange(DK, dtype=jnp.int32),
-                     MI)
-    fd = fresh_drop[:, None, None, None]
-    t_new = target[drop_idx]
-    w_new = jnp.where(fd, 0.0, weight[drop_idx])
-    # out-of-bounds rows (the padded pairs' dead writes) are DROPPED —
-    # the old concat-a-spare-row trick duplicated the whole buffer
-    # (+6 GB on the backend's 8192-edge net) and OOM'd terminate
-    t_inac = t_inac.at[rows].set(t_new, mode="drop")
-    w_inac = w_inac.at[rows].set(w_new, mode="drop")
-
-    def compact(buf):
-        vals = buf[src]
-        return buf.at[dst].set(vals.astype(buf.dtype), mode="drop")
-
-    return (compact(net), compact(target), compact(weight),
-            compact(raw), compact(dy), compact(flow), t_inac, w_inac)
+                     "t_inac", "w_inac"))
+def _apply_pending_kernel(net, target, weight, raw, dy, flow, t_inac,
+                          w_inac, mv_src, mv_dst, st_src, st_row,
+                          st_fresh, roll):
+    """Standalone dispatch of :func:`_retire_prologue` (for edge-buffer
+    consumers outside the fused step, e.g. filter_edges)."""
+    return _retire_prologue(net, target, weight, raw, dy, flow,
+                            t_inac, w_inac, mv_src, mv_dst, st_src,
+                            st_row, st_fresh, roll)
 
 
 class FactorGraph:
@@ -539,6 +568,16 @@ class FactorGraph:
         # device state is initialized inside the next _fused_step
         self.fresh = np.zeros(0, bool)
 
+        # deferred-retirement state: _loc[e] = device row (in the
+        # last-flushed layout) currently holding edge e's state
+        # (-1 = fresh, no device state yet); _pend_store = FIFO of
+        # (device_row, fresh) ring stores; _ring_evict = pending FIFO
+        # evictions; _ring_base = ring size at the last flush
+        self._loc = np.zeros(0, np.int64)
+        self._pend_store = []
+        self._ring_evict = 0
+        self._ring_base = 0
+
     # ---------------- host topology ops ----------------
 
     @property
@@ -587,39 +626,53 @@ class FactorGraph:
         self.jj = np.concatenate([self.jj, jj])
         self.age = np.concatenate([self.age, np.zeros(len(ii), np.int64)])
         self.fresh = np.concatenate([self.fresh, np.ones(len(ii), bool)])
+        self._loc = np.concatenate([self._loc,
+                                    np.full(len(ii), -1, np.int64)])
 
     DROP_BUCKETS = (8, 32, 96)
 
     def rm_factors(self, mask, store=False):
+        """Retire edges. HOST-ONLY: the device-buffer compaction and
+        the inactive-ring stores are DEFERRED — recorded in
+        ``_loc``/``_pend_store`` and applied as a prologue of the next
+        ``_fused_step`` (or by :meth:`flush_compaction`). A standalone
+        per-retirement device dispatch cost ~20 ms/frame of relay
+        overhead in the tracking loop (docs/PERF.md)."""
         mask = np.asarray(mask, bool)
         k = int(mask.sum())
         if k == 0:
             return
-        if not store and k == len(mask) == self.n_edges:
-            # dropping EVERYTHING with nothing to preserve: the device
-            # buffers' contents are dead — host bookkeeping only (the
-            # backend's clear_edges at the 8192-edge bucket otherwise
-            # pays a pointless multi-GB compaction kernel)
+        drop_idx = np.nonzero(mask)[0]
+        if store:
+            # record the ring stores in FIFO append order: src = the
+            # dropped edge's device row in the last-flushed layout
+            # (-1 = fresh, no device state yet -> weight stored as 0)
+            for d in drop_idx:
+                self._pend_store.append(
+                    (int(self._loc[d]),
+                     bool(self.fresh[d]) or self._loc[d] < 0))
+            # FIFO append with eviction of the oldest entries (which
+            # can include just-appended ones when k > max_inactive);
+            # the device roll amount is resolved at flush time
+            ni = len(self.ii_inac)
+            over = ni + k - self.max_inactive
+            if over > 0:
+                self._ring_evict += over
+            self.ii_inac = np.concatenate(
+                [self.ii_inac, self.ii[mask]])[-self.max_inactive:]
+            self.jj_inac = np.concatenate(
+                [self.jj_inac, self.jj[mask]])[-self.max_inactive:]
+
+        if k == len(mask) == self.n_edges:
+            # dropping EVERYTHING: pure host bookkeeping (any pending
+            # ring stores still read the edges' old device rows at
+            # flush, before fresh rows are initialized)
             self.ii = np.zeros(0, np.int64)
             self.jj = np.zeros(0, np.int64)
             self.age = np.zeros(0, np.int64)
             self.fresh = np.zeros(0, bool)
+            self._loc = np.zeros(0, np.int64)
             return
-        drop_idx = np.nonzero(mask)[0]
-        ni = len(self.ii_inac)
-        if store:
-            if ni + k > self.max_inactive:
-                # evict oldest inactive entries (FIFO)
-                shift = ni + k - self.max_inactive
-                self.ii_inac = self.ii_inac[shift:]
-                self.jj_inac = self.jj_inac[shift:]
-                self.target_inac = jnp.roll(self.target_inac, -shift,
-                                            axis=0)
-                self.weight_inac = jnp.roll(self.weight_inac, -shift,
-                                            axis=0)
-                ni = len(self.ii_inac)
-            self.ii_inac = np.concatenate([self.ii_inac, self.ii[mask]])
-            self.jj_inac = np.concatenate([self.jj_inac, self.jj[mask]])
 
         # swap-compaction plan: surviving rows >= n_new fill the holes
         # below n_new (order of edges does not matter anywhere — NMS,
@@ -631,37 +684,83 @@ class FactorGraph:
         movers = [r for r in range(n_new, n) if r not in drop_set]
         assert len(holes) == len(movers), (holes, movers)
 
-        DK = _bucket(k, self.DROP_BUCKETS + (self.max_edges,)
-                     if k > self.DROP_BUCKETS[-1]
-                     else self.DROP_BUCKETS)
-        drop_pad = np.zeros(DK, np.int64)
-        drop_pad[:k] = drop_idx
-        drop_valid = np.zeros(DK, bool)
-        # padded/non-stored rows write to the dead row MI; fresh
-        # (never-updated) rows store zero weight so they cannot
-        # influence BA
-        drop_valid[:k] = store
-        fresh_drop = np.zeros(DK, bool)
-        fresh_drop[:k] = self.fresh[drop_idx]
-        src = np.zeros(DK, np.int64)
-        dst = np.full(DK, self.max_edges, np.int64)   # dead row
-        src[:len(movers)] = movers
-        dst[:len(holes)] = holes
-
-        (self.net, self.target_cam, self.weight, self.raw_mask,
-         self.delta_dy, self.full_flow, self.target_inac,
-         self.weight_inac) = _rm_edges_kernel(
-            self.net, self.target_cam, self.weight, self.raw_mask,
-            self.delta_dy, self.full_flow, self.target_inac,
-            self.weight_inac, jnp.asarray(src), jnp.asarray(dst),
-            jnp.asarray(drop_pad), jnp.asarray(drop_valid),
-            jnp.asarray(fresh_drop), ni, DK=DK)
-
-        # mirror the swap on the host topology arrays
-        for name in ("ii", "jj", "age", "fresh"):
+        # mirror the swap on the host topology arrays; ``_loc`` keeps
+        # pointing at each edge's ORIGINAL device row, so all deferred
+        # plans stay expressed in last-flushed-layout coordinates
+        for name in ("ii", "jj", "age", "fresh", "_loc"):
             arr = getattr(self, name).copy()
             arr[holes] = arr[movers]
             setattr(self, name, arr[:n_new])
+
+    def _pending_plan(self):
+        """Padded (moves, ring-stores, roll) plan for the deferred
+        retirements since the last flush, in last-flushed-layout
+        coordinates. Returns None when nothing is pending."""
+        n = self.n_edges
+        mv = [(int(self._loc[e]), e) for e in range(n)
+              if 0 <= self._loc[e] != e]
+        kk = len(self._pend_store)
+        if not mv and not kk and not self._ring_evict:
+            return None
+        ni_final = len(self.ii_inac)
+        # FIFO ring: evictions pop OLD entries first; pendings appended
+        # at the tail. evicted_old = how far the old content rolls;
+        # only the last `surv` pendings landed inside the ring
+        evicted_old = min(self._ring_base, self._ring_evict)
+        surv = kk - (self._ring_evict - evicted_old)
+        assert ni_final == self._ring_base - evicted_old + surv
+
+        bk = lambda q: _bucket(q, self.DROP_BUCKETS + (self.max_edges,)
+                               if q > self.DROP_BUCKETS[-1]
+                               else self.DROP_BUCKETS) if q else 0
+        MK, SK = bk(len(mv)), bk(kk)
+        mv_src = np.zeros(MK, np.int64)
+        mv_dst = np.full(MK, self.max_edges, np.int64)   # dead row
+        for q, (s, d) in enumerate(mv):
+            mv_src[q], mv_dst[q] = s, d
+        st_src = np.zeros(SK, np.int64)
+        st_row = np.full(SK, self.max_inactive, np.int64)  # dead row
+        st_fresh = np.zeros(SK, bool)
+        for p, (src, fr) in enumerate(self._pend_store):
+            q = p - (kk - surv)
+            st_src[p] = max(src, 0)
+            st_fresh[p] = fr
+            if q >= 0:
+                st_row[p] = ni_final - surv + q
+        return mv_src, mv_dst, st_src, st_row, st_fresh, evicted_old
+
+    def _mark_flushed(self):
+        self._loc = np.arange(self.n_edges, dtype=np.int64)
+        self._pend_store = []
+        self._ring_evict = 0
+        self._ring_base = len(self.ii_inac)
+
+    def flush_compaction(self):
+        """Apply any deferred retirement plan with a standalone device
+        program (for consumers of the edge buffers outside the fused
+        step; the fused step applies it as an in-program prologue).
+        Fresh (never-updated) edges keep uninitialized device rows, as
+        before deferral."""
+        plan = self._pending_plan()
+        if plan is None:
+            return
+        mv_src, mv_dst, st_src, st_row, st_fresh, roll = plan
+        (self.net, self.target_cam, self.weight, self.raw_mask,
+         self.delta_dy, self.full_flow, self.target_inac,
+         self.weight_inac) = _apply_pending_kernel(
+            self.net, self.target_cam, self.weight, self.raw_mask,
+            self.delta_dy, self.full_flow, self.target_inac,
+            self.weight_inac, jnp.asarray(mv_src), jnp.asarray(mv_dst),
+            jnp.asarray(st_src), jnp.asarray(st_row),
+            jnp.asarray(st_fresh), roll)
+        # after the standalone flush every non-fresh edge sits at its
+        # host position; fresh edges still await their fused-step init
+        self._loc = np.where(self._loc >= 0,
+                             np.arange(self.n_edges, dtype=np.int64),
+                             -1)
+        self._pend_store = []
+        self._ring_evict = 0
+        self._ring_base = len(self.ii_inac)
 
     # NOTE: keyframe removal lives in Frontend.rm_keyframe_deferred
     # (it must shift EVERY slot above the removed one, including the
@@ -672,6 +771,7 @@ class FactorGraph:
         (reference factor_graph.py:92-99)."""
         if self.n_edges == 0:
             return
+        self.flush_compaction()
         conf = np.asarray(jnp.mean(
             self.weight[: self.n_edges], axis=(1, 2, 3)))
         mask = (np.abs(self.ii - self.jj) > 2) & (conf < 0.001)
@@ -848,7 +948,20 @@ class FactorGraph:
         d0 = max(0, int(v.counter) + 1 - dmat_window) \
             if dmat_window else 0
 
-        # inactive edges participating in BA
+        # deferred retirement plan, applied as the step's prologue
+        plan = self._pending_plan()
+        if plan is None:
+            MK = SK = 0
+            mv_src = mv_dst = np.zeros(0, np.int64)
+            st_src = st_row = np.zeros(0, np.int64)
+            st_fresh = np.zeros(0, np.int64)
+            roll = 0
+        else:
+            mv_src, mv_dst, st_src, st_row, st_fresh, roll = plan
+            MK, SK = len(mv_src), len(st_src)
+
+        # inactive edges participating in BA (gathered in-program,
+        # AFTER the prologue lands this frame's ring stores)
         if use_inactive and len(self.ii_inac) > 0:
             m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
             sel = np.nonzero(m)[0]
@@ -857,11 +970,6 @@ class FactorGraph:
         EI = _bucket(len(sel), self.inactive_buckets)
         sel_pad = np.concatenate(
             [sel, np.zeros(EI - len(sel), np.int64)])
-        gsel = jnp.asarray(sel_pad)
-        extra_target = self.target_inac[gsel] if EI else \
-            jnp.zeros((0, h, w, 2), jnp.float32)
-        extra_weight = self.weight_inac[gsel] if EI else \
-            jnp.zeros((0, h, w, 2), jnp.float32)
 
         # BA edge set = [inactive | active], padded to EI + EB
         ii_ba = np.zeros(EI + EB, np.int32)
@@ -893,25 +1001,33 @@ class FactorGraph:
             ii_ba, jj_ba, valid_ba.astype(np.int32),
             pa, pb, pv.astype(np.int32),
             np.asarray([dist_pair[0], dist_pair[1]], np.int32),
+            mv_src, mv_dst, st_src, st_row, st_fresh,
+            sel_pad, np.asarray([roll]),
         ]).astype(np.int32))
         o0 = 0
         spl = []
         for ln in (EB, EB, EB, EB, EI + EB, EI + EB, EI + EB,
-                   PAIRS, PAIRS, PAIRS, 1, 1):
+                   PAIRS, PAIRS, PAIRS, 1, 1,
+                   MK, MK, SK, SK, SK, EI, 1):
             spl.append(packed_idx[o0:o0 + ln])
             o0 += ln
         (ii_r_d, jj_r_d, valid_r_d, fresh_d, ii_ba_d, jj_ba_d,
-         valid_ba_d, pa_d, pb_d, pv_d, di_d, dj_d) = spl
+         valid_ba_d, pa_d, pb_d, pv_d, di_d, dj_d,
+         mv_src_d, mv_dst_d, st_src_d, st_row_d, st_fresh_d,
+         gsel_d, roll_d) = spl
 
         (v.poses, v.disps, v.damping, self.net, self.target_cam,
          self.weight, self.raw_mask, self.delta_dy,
-         self.full_flow, packet) = _fused_step(
+         self.full_flow, self.target_inac, self.weight_inac,
+         packet) = _fused_step(
             self.params, v.poses, v.disps, v.intrinsics[0], v.fmaps,
             v.nets, v.inps, v.segms, v.damping,
             self.net, self.target_cam, self.weight, self.raw_mask,
             self.delta_dy, self.full_flow,
+            self.target_inac, self.weight_inac,
             ii_r_d, jj_r_d, valid_r_d.astype(bool), fresh_d.astype(bool),
-            extra_target, extra_weight,
+            mv_src_d, mv_dst_d, st_src_d, st_row_d,
+            st_fresh_d.astype(bool), gsel_d, roll_d[0],
             ii_ba_d, jj_ba_d, valid_ba_d.astype(bool),
             pa_d, pb_d, pv_d.astype(bool),
             w0, t0, t1, v.thresh, damp_fac, EP, lm, ep,
@@ -925,6 +1041,9 @@ class FactorGraph:
                         if self.edge_chunk and
                         EB % self.edge_chunk == 0 and
                         EB > self.edge_chunk else None))
+        # the prologue applied all deferred retirements; every edge row
+        # (incl. fresh inits) now matches the host layout
+        self._mark_flushed()
         # single source of truth for the dmat origin the caller must
         # use to interpret the packet's distance matrix
         self._last_d0 = d0

@@ -194,6 +194,13 @@ class Frontend:
             dist_pair=(self.t1 - 3, self.t1 - 2),
             steps2=self.iters2, kf_thresh=cfg.keyframe_thresh,
             seed_ix=self.t1, dmat_window=DMAT_WINDOW)
+        # queue the d2h NOW (it streams the moment the program
+        # retires); starting it at resolve time instead costs an extra
+        # relay round-trip on the critical path
+        try:
+            packet.copy_to_host_async()
+        except AttributeError:
+            pass
         self._packet = (packet, d0, self.t1, self.iters2)
 
     def _initialize(self):

@@ -108,6 +108,10 @@ class TestSwapCompaction:
         g.full_flow = jnp.asarray(ids)
         g.target_inac = jnp.zeros((16, h, w, 2))
         g.weight_inac = jnp.zeros((16, h, w, 2))
+        g._loc = np.arange(n, dtype=np.int64)
+        g._pend_store = []
+        g._ring_evict = 0
+        g._ring_base = 0
         return g
 
     def test_rows_track_host_arrays(self):
@@ -122,6 +126,7 @@ class TestSwapCompaction:
             mask = np.zeros(6, bool)
             mask[pattern] = True
             g.rm_factors(mask, store=True)
+            g.flush_compaction()    # retirement is deferred now
             tc = np.asarray(g.target_cam)
             for r, i in enumerate(g.ii):
                 assert ids0[int(i)] == int(tc[r, 0, 0, 0]), \
