@@ -57,17 +57,23 @@ def main():
     frames = list(synth_stream(n_warm + n_meas, H, W))
 
     # warmup: triggers initialization + all jit compilations
-    for (t, img, intr, segm) in frames[:n_warm]:
+    for k, (t, img, intr, segm) in enumerate(frames[:n_warm]):
         sysm.track(t, img, intr, segments=segm)
+        if k + 1 < len(frames):
+            sysm.prefetch(frames[k + 1][1])
 
     jax.block_until_ready(sysm.video.poses)
 
     import sys
     per_frame = []
     t0 = time.perf_counter()
-    for (t, img, intr, segm) in frames[n_warm:]:
+    for k, (t, img, intr, segm) in enumerate(frames[n_warm:]):
         f0 = time.perf_counter()
         sysm.track(t, img, intr, segments=segm)
+        # double-buffered input: next frame's upload streams while
+        # this frame's device program runs
+        if n_warm + k + 1 < len(frames):
+            sysm.prefetch(frames[n_warm + k + 1][1])
         per_frame.append(time.perf_counter() - f0)
     jax.block_until_ready(sysm.video.poses)
     dt = time.perf_counter() - t0

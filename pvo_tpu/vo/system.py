@@ -117,9 +117,23 @@ class VOSystem:
             "update": self.modules["update"],
             "agg": self.modules["agg"]}, graph_params)
 
+    def prefetch(self, image):
+        """Queue the NEXT frame's image upload now (double-buffered
+        streaming input). Call right after :meth:`track` returns: the
+        ~0.6 MB h2d then streams over the otherwise-idle link while
+        this frame's device program runs, instead of serializing in
+        front of the next frame's dispatch (~25 ms/frame through a
+        remote relay, docs/PERF.md). The next :meth:`track` call must
+        pass the same frame."""
+        self._pref = jnp.asarray(image, jnp.uint8)
+
     def track(self, tstamp, image, intrinsics, segments=None):
         """image: (H, W, 3) uint8 RGB at cfg.image_size;
         intrinsics: (4,) [fx, fy, cx, cy] at full resolution."""
+        pref = getattr(self, "_pref", None)
+        if pref is not None and pref.shape == image.shape:
+            image = pref
+            self._pref = None
         # speculative choreography: dispatch the motion-filter program
         # FIRST (it queues behind last frame's fused program and
         # conditionally appends at slot counter on device), then fetch
