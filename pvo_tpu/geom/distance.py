@@ -80,9 +80,11 @@ def window_distance_matrix(poses, disps, intrinsics, d0, WD, beta=0.3):
     device round-trip (the reference calls frame_distance on the host
     every frame, droid_frontend.py:45)."""
     import numpy as np
-    pw = jax.lax.dynamic_slice(poses, (d0, 0), (WD, 7))
+    d0 = jnp.asarray(d0)
+    z = jnp.zeros((), d0.dtype)
+    pw = jax.lax.dynamic_slice(poses, (d0, z), (WD, 7))
     dw = jax.lax.dynamic_slice(
-        disps, (d0, 0, 0), (WD,) + disps.shape[-2:])
+        disps, (d0, z, z), (WD,) + disps.shape[-2:])
     ii, jj = np.meshgrid(np.arange(WD), np.arange(WD), indexing="ij")
     d = frame_distance(pw, dw, intrinsics, ii.reshape(-1),
                        jj.reshape(-1), beta).reshape(WD, WD)

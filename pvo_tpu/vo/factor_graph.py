@@ -80,23 +80,26 @@ def segment_vote_filter(bin_mask, segm_e, valid, S_MAX, seg_thresh):
 
     bin_mask: (E, h, w, 2) bool static-mask; segm_e: (E, h, w) local
     segment ids in [0, S_MAX); valid: (E,) edge mask.
+
+    Implementation: broadcast compare-and-reduce over the segment
+    axis — (E, S, h*w) one-hot membership is never materialized (XLA
+    fuses compare+select+reduce). The earlier 4609-segment
+    jax.ops.segment_sum lowered to a sort-based while loop costing
+    ~3.6 ms/step at tracking shapes; this form measures ~0.3 ms.
     """
-    E = bin_mask.shape[0]
-    dyn = (~bin_mask[..., 0]) | (~bin_mask[..., 1])
-    key = (jnp.arange(E, dtype=jnp.int32)[:, None, None] * S_MAX +
-           segm_e)
-    key = jnp.where(valid[:, None, None], key, E * S_MAX)
-    flat = key.reshape(-1)
-    tot = jax.ops.segment_sum(jnp.ones_like(flat, jnp.float32),
-                              flat, num_segments=E * S_MAX + 1)
-    dyn_cnt = jax.ops.segment_sum(
-        dyn.reshape(-1).astype(jnp.float32), flat,
-        num_segments=E * S_MAX + 1)
-    ratio = dyn_cnt / jnp.maximum(tot, 1.0)
-    killed = (ratio > seg_thresh)                       # (E*S+1,)
-    killed = killed.at[jnp.arange(E) * S_MAX].set(False)  # seg id 0
-    kill_pix = killed[key]                              # (E,h,w)
-    return bin_mask & (~kill_pix)[..., None]
+    E, h, w = segm_e.shape
+    dyn = ((~bin_mask[..., 0]) | (~bin_mask[..., 1]))    # (E,h,w)
+    seg = segm_e.reshape(E, 1, h * w)
+    sv = jnp.arange(S_MAX, dtype=segm_e.dtype).reshape(1, S_MAX, 1)
+    oh = (seg == sv)                                     # (E,S,hw)
+    dynf = dyn.reshape(E, 1, h * w).astype(jnp.float32)
+    tot = jnp.sum(oh, axis=2, dtype=jnp.float32)         # (E,S)
+    dyn_cnt = jnp.sum(jnp.where(oh, dynf, 0.0), axis=2)  # (E,S)
+    killed = (dyn_cnt / jnp.maximum(tot, 1.0)) > seg_thresh
+    killed = killed & valid[:, None]
+    killed = killed.at[:, 0].set(False)                  # seg id 0
+    kill_pix = jnp.any(oh & killed[:, :, None], axis=1)  # (E,hw)
+    return bin_mask & (~kill_pix.reshape(E, h, w))[..., None]
 
 
 def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
@@ -292,17 +295,22 @@ def _update_core_chunked(params, poses, disps, intrinsics, fmaps, inps,
     static_argnames=("update_apply", "agg_apply", "K", "P", "PAIRS",
                      "S_MAX", "segm_filter", "corr_chunk", "EB",
                      "iters", "motion_only", "steps", "steps2", "WD",
-                     "do_seed", "edge_chunk"))
+                     "do_seed", "edge_chunk",
+                     # per-callsite-constant float knobs: static, so
+                     # they stop costing a scalar h2d each dispatch
+                     # (~1.6 ms apiece through the remote relay)
+                     "seg_thresh", "damp_fac", "EP", "lm", "ep",
+                     "beta", "kf_thresh"))
 def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
                 inps, segms, damping,
                 net_full, target_full, weight_full, raw_full, dy_full,
                 flow_full, t_inac, w_inac,
                 ii_r, jj_r, valid_r, fresh_mask,
-                mv_src, mv_dst, st_src, st_row, st_fresh, gsel, roll,
+                mv_src, mv_dst, st_src, st_row, st_fresh, gsel,
                 ii_ba, jj_ba, valid_ba,
                 pairs_a, pairs_b, pairs_valid,
-                w0, t0, t1, seg_thresh, damp_fac, EP, lm, ep,
-                dist_i, dist_j, beta, kf_thresh, seed_ix, d0,
+                sc, seg_thresh, damp_fac, EP, lm, ep,
+                dist_i, dist_j, beta, kf_thresh,
                 update_apply, agg_apply, K, P, PAIRS, S_MAX,
                 segm_filter, corr_chunk, EB, iters, motion_only,
                 steps=1, steps2=0, WD=0, do_seed=False,
@@ -321,6 +329,15 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
     with separate device ops, factor_graph.py:129-157)."""
     F = poses.shape[0]
     h, w = disps.shape[-2:]
+    # varying per-frame scalars, unpacked from the rider vector
+    # (see _fused: [w0, t0, t1, seed_ix, d0, roll]); mask casts also
+    # happen in-program so the host never issues eager cast ops
+    w0, t0, t1, seed_ix, d0 = (sc[0], sc[1], sc[2], sc[3], sc[4])
+    valid_r = valid_r.astype(bool)
+    fresh_mask = fresh_mask.astype(bool)
+    st_fresh = st_fresh.astype(bool)
+    valid_ba = valid_ba.astype(bool)
+    pairs_valid = pairs_valid.astype(bool)
 
     # -------- deferred-retirement prologue --------
     # apply the pending compaction / ring-store plan (recorded by
@@ -331,7 +348,7 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
      t_inac, w_inac) = _retire_prologue(
         net_full, target_full, weight_full, raw_full, dy_full,
         flow_full, t_inac, w_inac, mv_src, mv_dst, st_src, st_row,
-        st_fresh, roll)
+        st_fresh, sc[5])
     if gsel.shape[0]:
         extra_target = t_inac[gsel]
         extra_weight = w_inac[gsel]
@@ -1002,19 +1019,23 @@ class FactorGraph:
             pa, pb, pv.astype(np.int32),
             np.asarray([dist_pair[0], dist_pair[1]], np.int32),
             mv_src, mv_dst, st_src, st_row, st_fresh,
-            sel_pad, np.asarray([roll]),
+            sel_pad,
+            # varying per-frame scalars ride the same transfer (the
+            # float knobs are static jit args; these ints change every
+            # frame and would otherwise each pay a separate h2d)
+            np.asarray([w0, t0, t1, int(seed_ix), d0, roll]),
         ]).astype(np.int32))
         o0 = 0
         spl = []
         for ln in (EB, EB, EB, EB, EI + EB, EI + EB, EI + EB,
                    PAIRS, PAIRS, PAIRS, 1, 1,
-                   MK, MK, SK, SK, SK, EI, 1):
+                   MK, MK, SK, SK, SK, EI, 6):
             spl.append(packed_idx[o0:o0 + ln])
             o0 += ln
         (ii_r_d, jj_r_d, valid_r_d, fresh_d, ii_ba_d, jj_ba_d,
          valid_ba_d, pa_d, pb_d, pv_d, di_d, dj_d,
          mv_src_d, mv_dst_d, st_src_d, st_row_d, st_fresh_d,
-         gsel_d, roll_d) = spl
+         gsel_d, sc_d) = spl
 
         (v.poses, v.disps, v.damping, self.net, self.target_cam,
          self.weight, self.raw_mask, self.delta_dy,
@@ -1025,13 +1046,14 @@ class FactorGraph:
             self.net, self.target_cam, self.weight, self.raw_mask,
             self.delta_dy, self.full_flow,
             self.target_inac, self.weight_inac,
-            ii_r_d, jj_r_d, valid_r_d.astype(bool), fresh_d.astype(bool),
+            ii_r_d, jj_r_d, valid_r_d, fresh_d,
             mv_src_d, mv_dst_d, st_src_d, st_row_d,
-            st_fresh_d.astype(bool), gsel_d, roll_d[0],
-            ii_ba_d, jj_ba_d, valid_ba_d.astype(bool),
-            pa_d, pb_d, pv_d.astype(bool),
-            w0, t0, t1, v.thresh, damp_fac, EP, lm, ep,
-            di_d, dj_d, self.beta, float(kf_thresh), int(seed_ix), d0,
+            st_fresh_d, gsel_d,
+            ii_ba_d, jj_ba_d, valid_ba_d,
+            pa_d, pb_d, pv_d,
+            sc_d, float(v.thresh),
+            float(damp_fac), float(EP), float(lm), float(ep),
+            di_d, dj_d, float(self.beta), float(kf_thresh),
             update_apply=self.update_apply, agg_apply=self.agg_apply,
             K=K, P=P, PAIRS=PAIRS, S_MAX=v.max_segments,
             segm_filter=v.segm_filter, corr_chunk=self.corr_chunk,

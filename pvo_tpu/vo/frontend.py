@@ -10,17 +10,23 @@ TPU orchestration: the whole per-keyframe update is ONE device program
 (see factor_graph._fused_step) — 4 updates, the keyframe-removal
 distance probe, the conditional 2 extra updates (lax.cond on device),
 next-pose seeding, and the sliding-window distance matrix for the NEXT
-frame's proximity proposal. The host reads back one small packet per
-frame and resolves it at the START of the next frame, so the removal
-decision and the fresh distances are applied exactly where the
+keyframe's proximity proposal. The host reads back one small packet per
+fused program and resolves it at the START of the next one, so the
+removal decision and the fresh distances are applied exactly where the
 reference applies them, but the host never stalls mid-frame:
 
-    frame t:  resolve packet(t-1): maybe rm_keyframe; remap dmat
-              build topology from dmat(t-1)        [pure numpy]
-              dispatch fused program(t)            [async]
-              -> packet(t) pending
+    frame t:  commit admission(t-1)                 [free read]
+              dispatch motion-filter(t)             [async]
+              resolve packet of fused(kf t-2): maybe rm_keyframe,
+                cache dmat                          [rode out a full
+                                                     frame of device
+                                                     time -> cheap]
+              build topology for keyframe t-1       [pure numpy]
+              dispatch fused program(kf t-1)        [async]
 
-The only other per-frame sync is the motion filter's admission bit.
+The fused update for keyframe k runs while frame k+1 streams in
+(system.py track choreography): wall time per frame is the device time
+itself, and the program sequence is identical to the serialized order.
 """
 
 from __future__ import annotations
@@ -56,52 +62,25 @@ class Frontend:
     # ---------------- packet protocol ----------------
 
     def resolve(self):
-        """Public idempotent packet resolution (called by the system
-        at frame start, before the motion filter appends — so a
-        deferred keyframe removal shifts exactly one slot, like the
-        reference's rm_keyframe)."""
+        """Public idempotent packet resolution (applies any deferred
+        keyframe removal; used before state reads outside the track
+        loop)."""
         self._resolve_packet()
 
-    def resolve_with_append(self, pending, filterx):
-        """Speculative-append packet resolution: the motion filter's
-        per-frame program was ALREADY dispatched (conditionally writing
-        the new keyframe at slot ``counter`` on device, queued after
-        last frame's fused program). Fetch the packet (the big wait —
-        it rides out the fused program), commit the admission bit
-        (cheap: the track kernel is just behind in the queue), then
-        apply the deferred keyframe removal. Because the counter is
-        committed FIRST, the removal shift range naturally extends over
-        the speculatively appended row when one exists.
-
-        Returns the admission bool."""
-        if self._packet is None:
-            return filterx.resolve_track(pending)
-        dev, d0, t1p, steps2 = self._packet
-        self._packet = None
-        # start BOTH d2h copies before blocking: the admission bit's
-        # transfer streams as soon as the track kernel retires, so its
-        # later read costs ~0 instead of a full tunnel round-trip
-        try:
-            dev.copy_to_host_async()
-            pending[0].copy_to_host_async()
-        except AttributeError:
-            pass
-        host = np.asarray(dev)           # waits out fused(t-1)
-        ok = filterx.resolve_track(pending)
-        self._apply_packet(host, d0, t1p, steps2, appended=ok)
-        return ok
-
     def _resolve_packet(self):
-        """Fetch last frame's packet; apply the deferred
-        keyframe-removal decision; cache the distance matrix."""
+        """Fetch the pending packet (from the fused program dispatched
+        LAST frame — in the pipelined choreography it has ridden out a
+        full frame of device time, so the read is cheap); apply the
+        deferred keyframe-removal decision; cache the distance
+        matrix."""
         if self._packet is None:
             return
         dev, d0, t1p, steps2 = self._packet
         self._packet = None
         host = np.asarray(dev)           # the per-frame device sync
-        self._apply_packet(host, d0, t1p, steps2, appended=False)
+        self._apply_packet(host, d0, t1p, steps2)
 
-    def _apply_packet(self, host, d0, t1p, steps2, appended):
+    def _apply_packet(self, host, d0, t1p, steps2):
         d = float(host[0])
         dmat = host[1:].reshape(DMAT_WINDOW, DMAT_WINDOW)
 
@@ -111,7 +90,7 @@ class Frontend:
             # the device branch-free — the 2 extra updates were
             # already skipped on device by the lax.cond)
             ix = t1p - 2
-            self.rm_keyframe_deferred(ix, appended=appended)
+            self.rm_keyframe_deferred(ix)
             self.t1 -= 1
             self.video.counter -= 1
             # remap the distance matrix over the removed slot
@@ -133,16 +112,19 @@ class Frontend:
         self._dmat = dmat
         self._d0 = d0
 
-    def rm_keyframe_deferred(self, ix, appended=False):
+    def rm_keyframe_deferred(self, ix):
         """Keyframe removal one host-step after the probe (the
         reference's rm_keyframe, factor_graph.py:202-225). Every slot
-        above ``ix`` shifts down one: the committed keyframes, the
-        speculatively appended row when the caller committed one, and
-        otherwise the NEXT-keyframe seed that last frame's fused step
-        wrote at slot ``counter`` (so a later append still starts from
-        the seeded pose / mean disparity, droid_frontend.py:64-66)."""
+        above ``ix`` shifts down one: the committed keyframes, plus the
+        row at slot ``counter`` — which holds the NEXT-keyframe seed
+        written by the last fused step (droid_frontend.py:64-66) and,
+        in the pipelined choreography, this frame's speculative
+        motion-filter append (its admission is committed next frame
+        against the post-shift counter, so the bookkeeping stays
+        exact). The shift ops queue behind that append on device, so
+        ordering is correct."""
         v = self.video
-        end = v.counter - 1 if appended else v.counter
+        end = v.counter
         for off in range(ix, end):
             v.remove_frame(off)
         g = self.graph

@@ -129,21 +129,33 @@ class VOSystem:
 
     def track(self, tstamp, image, intrinsics, segments=None):
         """image: (H, W, 3) uint8 RGB at cfg.image_size;
-        intrinsics: (4,) [fx, fy, cx, cy] at full resolution."""
+        intrinsics: (4,) [fx, fy, cx, cy] at full resolution.
+
+        Pipelined choreography (one keyframe of latency, zero change to
+        the device-program sequence): each call (frame t)
+          1. commits frame t-1's admission bit — a FREE read, its d2h
+             completed during the last frame;
+          2. dispatches frame t's motion-filter program (speculative
+             append at the committed counter);
+          3. resolves the pending packet (keyframe removal + distance
+             matrix, from the fused program dispatched last frame — by
+             now it has ridden out a full frame of device time) and
+             dispatches the fused update FOR KEYFRAME t-1.
+        The fused update for keyframe k therefore runs while frame k+1
+        arrives: the wall cost per frame is the device time itself, not
+        device + round-trip + host as in the serialized ordering. The
+        per-keyframe program sequence and all its inputs (topology,
+        distance-matrix lag, removal timing) are identical to the
+        serialized form — this is pure re-timing."""
         pref = getattr(self, "_pref", None)
         if pref is not None and pref.shape == image.shape:
             image = pref
             self._pref = None
-        # speculative choreography: dispatch the motion-filter program
-        # FIRST (it queues behind last frame's fused program and
-        # conditionally appends at slot counter on device), then fetch
-        # the packet — ONE wait covers both programs, and the admission
-        # bit read afterwards is nearly free. A deferred keyframe
-        # removal discovered in the packet shifts the speculative row
-        # too (frontend.resolve_with_append).
-        pending = self.filterx.track_async(tstamp, image, intrinsics,
-                                           segments)
-        self.frontend.resolve_with_append(pending, self.filterx)
+        pending = getattr(self, "_pending_adm", None)
+        if pending is not None:
+            self.filterx.resolve_track(pending)
+        self._pending_adm = self.filterx.track_async(
+            tstamp, image, intrinsics, segments)
         self.frontend()
 
     def terminate(self, image_stream=None, need_inv=True,
@@ -151,6 +163,11 @@ class VOSystem:
         """Run global BA passes and fill non-keyframe poses.
 
         Returns (T, 7) [t, q] trajectory (w2c if need_inv=False)."""
+        pending = getattr(self, "_pending_adm", None)
+        if pending is not None:
+            self.filterx.resolve_track(pending)
+            self._pending_adm = None
+        self.frontend()          # fused update for the last keyframe
         self.frontend.flush()
         for steps in backend_steps:
             self.backend(steps)

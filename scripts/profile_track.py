@@ -65,14 +65,14 @@ def main():
     v.distance = timed("video.distance(sync)", v.distance)
     g._fused = timed("fused_step(dispatch)", g._fused)
     fe = sysm.frontend
-    orig_rwa = fe.resolve_with_append
+    orig_rp = fe._resolve_packet
 
-    def rwa(pending, filterx):
+    def rp():
         t0 = time.perf_counter()
-        out = orig_rwa(pending, filterx)
+        out = orig_rp()
         TIMES["resolve_packet(sync)"].append(time.perf_counter() - t0)
         return out
-    fe.resolve_with_append = rwa
+    fe._resolve_packet = rp
 
     orig_update = fe_mod.Frontend._update
 

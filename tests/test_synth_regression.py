@@ -58,7 +58,8 @@ def test_oracle_targets_converge_to_gt_trajectory(monkeypatch):
     def oracle_core(params, poses, disps, intrinsics, fmaps, inps,
                     segms, net, target_cam, raw_mask, delta_dy,
                     ii, jj, valid, w0, seg_thresh, update_apply,
-                    agg_apply, K, S_MAX, segm_filter, corr_chunk=16):
+                    agg_apply, K, S_MAX, segm_filter, corr_chunk=16,
+                    **_kw):
         E = ii.shape[0]
         F = poses.shape[0]
         gp = jnp.concatenate(
