@@ -294,6 +294,7 @@ def _update_core_chunked(params, poses, disps, intrinsics, fmaps, inps,
                      "dy_full", "flow_full", "t_inac", "w_inac"),
     static_argnames=("update_apply", "agg_apply", "K", "P", "PAIRS",
                      "S_MAX", "segm_filter", "corr_chunk", "EB",
+                     "EI", "MK", "SK",
                      "iters", "motion_only", "steps", "steps2", "WD",
                      "do_seed", "edge_chunk",
                      # per-callsite-constant float knobs: static, so
@@ -305,14 +306,11 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
                 inps, segms, damping,
                 net_full, target_full, weight_full, raw_full, dy_full,
                 flow_full, t_inac, w_inac,
-                ii_r, jj_r, valid_r, fresh_mask,
-                mv_src, mv_dst, st_src, st_row, st_fresh, gsel,
-                ii_ba, jj_ba, valid_ba,
-                pairs_a, pairs_b, pairs_valid,
-                sc, seg_thresh, damp_fac, EP, lm, ep,
-                dist_i, dist_j, beta, kf_thresh,
+                packed, seg_thresh, damp_fac, EP, lm, ep,
+                beta, kf_thresh,
                 update_apply, agg_apply, K, P, PAIRS, S_MAX,
-                segm_filter, corr_chunk, EB, iters, motion_only,
+                segm_filter, corr_chunk, EB, EI, MK, SK,
+                iters, motion_only,
                 steps=1, steps2=0, WD=0, do_seed=False,
                 edge_chunk=None):
     """ONE device program for the whole per-keyframe frontend update:
@@ -329,15 +327,33 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
     with separate device ops, factor_graph.py:129-157)."""
     F = poses.shape[0]
     h, w = disps.shape[-2:]
-    # varying per-frame scalars, unpacked from the rider vector
-    # (see _fused: [w0, t0, t1, seed_ix, d0, roll]); mask casts also
-    # happen in-program so the host never issues eager cast ops
+    # unpack every per-frame index array from the ONE packed h2d
+    # transfer with STATIC slices (free at trace time). Host-side
+    # slicing of the packed device array cost ~10 ms/frame: each of
+    # the 19 lazy slices was its own relay-dispatched device op.
+    _o = [0]
+
+    def _take(ln):
+        s = packed[_o[0]:_o[0] + ln]
+        _o[0] += ln
+        return s
+
+    ii_r, jj_r = _take(EB), _take(EB)
+    valid_r = _take(EB).astype(bool)
+    fresh_mask = _take(EB).astype(bool)
+    ii_ba, jj_ba = _take(EI + EB), _take(EI + EB)
+    valid_ba = _take(EI + EB).astype(bool)
+    pairs_a, pairs_b = _take(PAIRS), _take(PAIRS)
+    pairs_valid = _take(PAIRS).astype(bool)
+    dist_i, dist_j = _take(1), _take(1)
+    mv_src, mv_dst = _take(MK), _take(MK)
+    st_src, st_row = _take(SK), _take(SK)
+    st_fresh = _take(SK).astype(bool)
+    gsel = _take(EI)
+    # varying per-frame scalars ride the same transfer
+    # (see _fused: [w0, t0, t1, seed_ix, d0, roll])
+    sc = _take(6)
     w0, t0, t1, seed_ix, d0 = (sc[0], sc[1], sc[2], sc[3], sc[4])
-    valid_r = valid_r.astype(bool)
-    fresh_mask = fresh_mask.astype(bool)
-    st_fresh = st_fresh.astype(bool)
-    valid_ba = valid_ba.astype(bool)
-    pairs_valid = pairs_valid.astype(bool)
 
     # -------- deferred-retirement prologue --------
     # apply the pending compaction / ring-store plan (recorded by
@@ -1025,17 +1041,6 @@ class FactorGraph:
             # frame and would otherwise each pay a separate h2d)
             np.asarray([w0, t0, t1, int(seed_ix), d0, roll]),
         ]).astype(np.int32))
-        o0 = 0
-        spl = []
-        for ln in (EB, EB, EB, EB, EI + EB, EI + EB, EI + EB,
-                   PAIRS, PAIRS, PAIRS, 1, 1,
-                   MK, MK, SK, SK, SK, EI, 6):
-            spl.append(packed_idx[o0:o0 + ln])
-            o0 += ln
-        (ii_r_d, jj_r_d, valid_r_d, fresh_d, ii_ba_d, jj_ba_d,
-         valid_ba_d, pa_d, pb_d, pv_d, di_d, dj_d,
-         mv_src_d, mv_dst_d, st_src_d, st_row_d, st_fresh_d,
-         gsel_d, sc_d) = spl
 
         (v.poses, v.disps, v.damping, self.net, self.target_cam,
          self.weight, self.raw_mask, self.delta_dy,
@@ -1046,18 +1051,14 @@ class FactorGraph:
             self.net, self.target_cam, self.weight, self.raw_mask,
             self.delta_dy, self.full_flow,
             self.target_inac, self.weight_inac,
-            ii_r_d, jj_r_d, valid_r_d, fresh_d,
-            mv_src_d, mv_dst_d, st_src_d, st_row_d,
-            st_fresh_d, gsel_d,
-            ii_ba_d, jj_ba_d, valid_ba_d,
-            pa_d, pb_d, pv_d,
-            sc_d, float(v.thresh),
+            packed_idx, float(v.thresh),
             float(damp_fac), float(EP), float(lm), float(ep),
-            di_d, dj_d, float(self.beta), float(kf_thresh),
+            float(self.beta), float(kf_thresh),
             update_apply=self.update_apply, agg_apply=self.agg_apply,
             K=K, P=P, PAIRS=PAIRS, S_MAX=v.max_segments,
             segm_filter=v.segm_filter, corr_chunk=self.corr_chunk,
-            EB=EB, iters=itrs, motion_only=motion_only, steps=steps,
+            EB=EB, EI=EI, MK=MK, SK=SK,
+            iters=itrs, motion_only=motion_only, steps=steps,
             steps2=steps2, WD=dmat_window, do_seed=do_seed,
             edge_chunk=(self.edge_chunk
                         if self.edge_chunk and
