@@ -46,7 +46,11 @@ def main():
     from pvo_tpu.vo.system import VOSystem
 
     H, W = 240, 808
-    n_warm, n_meas = 24, 30
+    # warmup must run PAST the first age-based retirements
+    # (max_age=25): the retirement-plan shape buckets first appear at
+    # frames ~25-32 and each costs a one-time compile-cache load; with
+    # n_warm=24 those loads landed inside the measurement window
+    n_warm, n_meas = 40, 30
 
     cfg = VOConfig(image_size=(H, W), buffer=128,
                    filter_thresh=0.01,      # admit every frame: worst case

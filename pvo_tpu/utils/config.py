@@ -38,6 +38,11 @@ class VOConfig:
     thresh: float = 0.8          # dynamic-segment vote threshold
     max_segments: int = 96       # static per-frame segment slots
 
+    # upload frames as planar YUV420 (half the h2d bytes; device
+    # reconstructs uint8 RGB in the track kernel — utils/yuv.py).
+    # False = bit-exact RGB ingest.
+    yuv420_upload: bool = True
+
     # static shape buckets (TPU: compile once, reuse)
     max_edges: int = 128         # frontend active-edge bucket
     max_inactive: int = 96

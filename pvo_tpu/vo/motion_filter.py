@@ -62,7 +62,14 @@ def _track_kernel(params, fmap_prev, net_prev, inp_prev,
                   image, intr8, segm, ix, thresh,
                   fnet_apply, cnet_apply, update_apply, first):
     """One device program per frame. Returns (admitted, new filter
-    state (fmap, net, inp), updated video buffers)."""
+    state (fmap, net, inp), updated video buffers).
+
+    ``image``: (H, W, 3) uint8 RGB, or (H*W*3//2,) packed planar
+    YUV420 (half the upload bytes — utils/yuv.py) reconstructed to
+    RGB here."""
+    if image.ndim == 1:
+        from pvo_tpu.utils.yuv import yuv420_to_rgb
+        image = yuv420_to_rgb(image, images.shape[1], images.shape[2])
     x = normalize_images(image[None])
     gmap = fnet_apply(params["fnet"], x)[0]
 
@@ -127,6 +134,9 @@ class MotionFilter:
         # removes two small h2d transfers per tracked frame
         self._intr_cache = (None, None)
         self._zero_segm = None
+        # upload frames as packed planar YUV420 (half the h2d bytes;
+        # set by VOSystem from VOConfig.yuv420_upload)
+        self.yuv420 = False
 
     def _features(self, image):
         """Standalone fnet encode (used by the trajectory filler)."""
@@ -150,6 +160,11 @@ class MotionFilter:
         else:
             segm = jnp.asarray(v._remap_segments(segments))
         thresh = -1.0 if force else float(self.thresh)
+
+        if self.yuv420 and getattr(image, "ndim", 3) == 3 and \
+                not isinstance(image, jax.Array):
+            from pvo_tpu.utils.yuv import rgb_to_yuv420
+            image = rgb_to_yuv420(np.asarray(image))
 
         key = tuple(np.asarray(intrinsics, np.float64).tolist())
         if self._intr_cache[0] != key:

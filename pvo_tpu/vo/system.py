@@ -93,6 +93,9 @@ class VOSystem:
 
         self.filterx = MotionFilter(self.modules, params, self.video,
                                     thresh=self.cfg.filter_thresh)
+        H, W = self.cfg.image_size
+        self.filterx.yuv420 = (self.cfg.yuv420_upload and
+                               H % 2 == 0 and W % 2 == 0)
 
         # edge buckets: 48 matches the reference frontend cap exactly
         # (droid_frontend.py:14 max_factors=48), so the steady-state
@@ -125,7 +128,12 @@ class VOSystem:
         front of the next frame's dispatch (~25 ms/frame through a
         remote relay, docs/PERF.md). The next :meth:`track` call must
         pass the same frame."""
-        self._pref = jnp.asarray(image, jnp.uint8)
+        self._pref_key = image.shape
+        if self.filterx.yuv420 and image.ndim == 3:
+            from pvo_tpu.utils.yuv import rgb_to_yuv420
+            self._pref = jnp.asarray(rgb_to_yuv420(np.asarray(image)))
+        else:
+            self._pref = jnp.asarray(image, jnp.uint8)
 
     def track(self, tstamp, image, intrinsics, segments=None):
         """image: (H, W, 3) uint8 RGB at cfg.image_size;
@@ -148,7 +156,8 @@ class VOSystem:
         distance-matrix lag, removal timing) are identical to the
         serialized form — this is pure re-timing."""
         pref = getattr(self, "_pref", None)
-        if pref is not None and pref.shape == image.shape:
+        if pref is not None and \
+                getattr(self, "_pref_key", None) == image.shape:
             image = pref
             self._pref = None
         pending = getattr(self, "_pending_adm", None)

@@ -1,6 +1,7 @@
 """Tests for IO codecs and trajectory metrics."""
 
 import numpy as np
+import jax.numpy as jnp
 
 from pvo_tpu.utils.ate import ate_rmse, umeyama_alignment
 from pvo_tpu.utils.io import (decode_vkitti_flow, id2rgb, rgb2id)
@@ -53,3 +54,33 @@ class TestATE:
         est = ref + 0.1 * rng.randn(30, 3)
         r = ate_rmse(est, ref)
         assert 0.02 < r < 0.3
+
+
+class TestYUV420:
+    """utils/yuv.py: the half-bandwidth frame-ingest codec."""
+
+    def test_roundtrip_error_bounded(self):
+        from pvo_tpu.utils.yuv import rgb_to_yuv420, yuv420_to_rgb
+        rng = np.random.RandomState(0)
+        # smooth image: chroma subsampling error should be tiny
+        base = rng.randn(8, 26, 3)
+        img = np.clip(
+            128 + 40 * np.kron(base, np.ones((8, 8, 1))), 0, 255
+        ).astype(np.uint8)[:, :200]
+        packed = rgb_to_yuv420(img)
+        assert packed.shape == (img.shape[0] * img.shape[1] * 3 // 2,)
+        assert packed.dtype == np.uint8
+        rec = np.asarray(yuv420_to_rgb(jnp.asarray(packed),
+                                       img.shape[0], img.shape[1]))
+        err = np.abs(rec.astype(int) - img.astype(int))
+        assert err.mean() < 1.5, err.mean()
+        assert np.percentile(err, 99) <= 6
+
+    def test_gray_is_lossless_mod_rounding(self):
+        from pvo_tpu.utils.yuv import rgb_to_yuv420, yuv420_to_rgb
+        rng = np.random.RandomState(1)
+        g = rng.randint(0, 255, (16, 24, 1), np.uint8)
+        img = np.repeat(g, 3, axis=2)
+        rec = np.asarray(yuv420_to_rgb(
+            jnp.asarray(rgb_to_yuv420(img)), 16, 24))
+        assert np.abs(rec.astype(int) - img.astype(int)).max() <= 2
