@@ -102,11 +102,61 @@ def segment_vote_filter(bin_mask, segm_e, valid, S_MAX, seg_thresh):
     return bin_mask & (~kill_pix.reshape(E, h, w))[..., None]
 
 
+# GRU gate-conv input channel layout: [net | ctx | corr-enc | flow-enc]
+GRU_CTX_LO, GRU_CTX_HI = 128, 256
+
+
+def split_gru_ctx_params(p_update):
+    """Split the GRU gate kernels' context-channel rows out of an
+    update-module param tree.
+
+    Returns ``(p_sliced, ctx_kernels)``: ``p_sliced`` is ``p_update``
+    with convz/convr/convq kernels sliced to skip the context channels
+    (gate inputs become [net, corr-enc, flow-enc]); ``ctx_kernels``
+    maps gate name -> its (3, 3, 128, 128) context slice. Conv
+    linearity makes ``apply(p_sliced, ..., ctx_pre=gru_ctx_pre(...))``
+    equal to the full apply up to one fp add. The context features are
+    constant across a keyframe's 4+2 update iterations, so the fused
+    step hoists their gate contribution out of the recurrent loop
+    (~28% of the gate-conv FLOPs; the reference recomputes them every
+    iteration, droid_net.py:268-270)."""
+    from flax.core import freeze, unfreeze
+    was_frozen = not isinstance(p_update, dict)
+    p = unfreeze(p_update) if was_frozen else \
+        jax.tree_util.tree_map(lambda x: x, p_update)
+    gru = dict(p["params"]["gru"])
+    p["params"] = dict(p["params"])
+    p["params"]["gru"] = gru
+    ctx = {}
+    for gate in ("convz", "convr", "convq"):
+        outer = dict(gru[gate])
+        node = dict(outer["Conv_0"])
+        k = node["kernel"]
+        ctx[gate] = k[:, :, GRU_CTX_LO:GRU_CTX_HI, :]
+        node["kernel"] = jnp.concatenate(
+            [k[:, :, :GRU_CTX_LO, :], k[:, :, GRU_CTX_HI:, :]], axis=2)
+        outer["Conv_0"] = node
+        gru[gate] = outer
+    return (freeze(p) if was_frozen else p), ctx
+
+
+def gru_ctx_pre(ctx_kernels, ctx):
+    """Per-step precompute of the GRU gates' context contributions:
+    (pz, pr, pq), each (E, h, w, 128) in ``ctx``'s dtype."""
+    dn = ("NHWC", "HWIO", "NHWC")
+    outs = []
+    for gate in ("convz", "convr", "convq"):
+        k = ctx_kernels[gate].astype(ctx.dtype)
+        outs.append(jax.lax.conv_general_dilated(
+            ctx, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn))
+    return tuple(outs)
+
+
 def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
                  net, target_cam, raw_mask, delta_dy,
                  ii, jj, valid, w0, seg_thresh,
                  update_apply, agg_apply, K, S_MAX, segm_filter,
-                 corr_chunk=16, corr_vols=None):
+                 corr_chunk=16, corr_vols=None, ctx_pre=None):
     """One recurrent update over all (padded) edges (traced helper).
 
     Returns new (net, target_cam, weight, raw_mask, delta_dy, full_flow,
@@ -151,9 +201,17 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
     # compute dtype follows the update-op params (bf16 on TPU mirrors
     # the reference's fp16 autocast, motion_filter.py:34)
     cdt = jax.tree.leaves(p_update)[0].dtype
-    inp = inps[ii].astype(cdt)
-    out = update_apply(p_update, net.astype(cdt), inp,
-                       corr.astype(cdt), motn.astype(cdt))
+    if ctx_pre is not None:
+        # context gate contributions were hoisted out of the step loop
+        # (split_gru_ctx_params); use the ctx-sliced kernel tree
+        out = update_apply(params["update_nc"], net.astype(cdt), None,
+                           corr.astype(cdt), motn.astype(cdt),
+                           ctx_pre=ctx_pre)
+    else:
+        inp = inps[ii].astype(cdt)
+        out = update_apply(p_update, net.astype(cdt), inp,
+                           corr.astype(cdt), motn.astype(cdt))
+    net_c = out["net"]  # kept in compute dtype for the agg convs
     out = {k: v.astype(jnp.float32) for k, v in out.items()}
     new_net = out["net"]
 
@@ -171,9 +229,12 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
     new_delta_dy = out["delta_dy"] * (1.0 - bin_mask)
     full_flow = coords1 + new_delta_dy - coords0
 
-    # per-frame damping from graph aggregation
+    # per-frame damping from graph aggregation (runs in the update
+    # op's compute dtype — the reference autocasts GraphAgg too,
+    # droid_net.py:64-95 under motion_filter.py:34's autocast)
     m = jnp.where(valid, ii - w0, K).astype(jnp.int32)
-    eta, _ = agg_apply(p_agg, new_net, m, K)
+    eta, _ = agg_apply(p_agg, net_c, m, K)
+    eta = eta.astype(jnp.float32)
     counts = jax.ops.segment_sum(valid.astype(jnp.int32), m,
                                  num_segments=K + 1)[:K]
 
@@ -248,6 +309,7 @@ def _update_core_chunked(params, poses, disps, intrinsics, fmaps, inps,
         inp = inps[ii_c].astype(cdt)
         out = update_apply(p_update, net_c.astype(cdt), inp,
                            corr.astype(cdt), motn.astype(cdt))
+        net_cdt = out["net"]
         out = {k: v.astype(jnp.float32) for k, v in out.items()}
 
         raw_new = raw_c + out["delta_mask"]
@@ -263,7 +325,7 @@ def _update_core_chunked(params, poses, disps, intrinsics, fmaps, inps,
         flow_new = coords1 + dy_new - coords0
 
         m = jnp.where(valid_c, ii_c - w0, K).astype(jnp.int32)
-        pre = agg_apply(p_agg, out["net"], method="pre")
+        pre = agg_apply(p_agg, net_cdt, method="pre")
         sum_acc = sum_acc + jax.ops.segment_sum(
             pre.reshape(CH, -1).astype(jnp.float32), m,
             num_segments=K + 1)
@@ -280,9 +342,11 @@ def _update_core_chunked(params, poses, disps, intrinsics, fmaps, inps,
     (net_full, target_full, weight_full, raw_full, dy_full, flow_full,
      sum_acc, cnt_acc) = jax.lax.fori_loop(0, n_chunks, body, carry)
 
+    adt = jax.tree.leaves(p_agg)[0].dtype
     mean = (sum_acc[:K] / jnp.maximum(cnt_acc[:K, None], 1.0)) \
-        .reshape(K, h, w, 128)
+        .reshape(K, h, w, 128).astype(adt)
     eta, _ = agg_apply(p_agg, mean, method="post")
+    eta = eta.astype(jnp.float32)
     return (net_full, target_full, weight_full, raw_full, dy_full,
             flow_full, eta[..., 0], cnt_acc[:K] > 0)
 
@@ -399,6 +463,14 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
     # stay transient per lookup.
     corr_vols = None
 
+    # hoist the context features' GRU gate contributions out of the
+    # 4+2-iteration loop (they depend only on (inps, ii_r))
+    if "gru_ctx" in params and edge_chunk is None:
+        cdt = jax.tree.leaves(params["update"])[0].dtype
+        ctx_pre = gru_ctx_pre(params["gru_ctx"], inps[ii_r].astype(cdt))
+    else:
+        ctx_pre = None
+
     def one_step(_, carry):
         (poses, disps, damping, net_full, target_full, weight_full,
          raw_full, dy_full, flow_full) = carry
@@ -418,7 +490,8 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
                 net_full[:EB].astype(jnp.float32), target_full[:EB],
                 raw_full[:EB], dy_full[:EB], ii_r, jj_r, valid_r, w0,
                 seg_thresh, update_apply, agg_apply, K, S_MAX,
-                segm_filter, corr_chunk, corr_vols=corr_vols)
+                segm_filter, corr_chunk, corr_vols=corr_vols,
+                ctx_pre=ctx_pre)
 
         net_full = net_full.at[:EB].set(net.astype(net_full.dtype))
         target_full = target_full.at[:EB].set(target)
@@ -546,10 +619,14 @@ class FactorGraph:
         hidden state (bf16 halves the dominant buffer for big graphs;
         the reference holds it in fp16 under autocast)."""
         self.video = video
+        params = dict(params)
         if _use_pallas_corr(video.h, video.w):
             from pvo_tpu.vo.net.pallas_corr import packed_update_params
-            params = dict(params)
             params["update"] = packed_update_params(params["update"])
+        # ctx-sliced GRU kernels + context slices for the fused step's
+        # hoisted gate precompute (see split_gru_ctx_params)
+        params["update_nc"], params["gru_ctx"] = \
+            split_gru_ctx_params(params["update"])
         self.params = params
         self.beta = beta
         self.max_edges = max_edges

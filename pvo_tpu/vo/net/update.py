@@ -76,14 +76,17 @@ class GraphAgg(nn.Module):
         E, H, W, C = net.shape
         x = self.pre(net)
 
-        ones = jnp.ones((E,), x.dtype)
-        summed = jax.ops.segment_sum(x.reshape(E, -1), seg_ids,
-                                     num_segments=num_frames + 1)
+        # accumulate the scatter-mean in fp32 even when the convs run
+        # bf16 (the sum spans up to E edges; bf16 accumulation drifts)
+        ones = jnp.ones((E,), jnp.float32)
+        summed = jax.ops.segment_sum(
+            x.reshape(E, -1).astype(jnp.float32), seg_ids,
+            num_segments=num_frames + 1)
         counts = jax.ops.segment_sum(ones, seg_ids,
                                      num_segments=num_frames + 1)
         mean = summed[:num_frames] / jnp.maximum(
             counts[:num_frames, None], 1.0)
-        mean = mean.reshape(num_frames, H, W, 128)
+        mean = mean.reshape(num_frames, H, W, 128).astype(x.dtype)
         return self.post(mean)
 
 
@@ -92,9 +95,15 @@ class DynamicUpdateModule(nn.Module):
     use_aff_bri: bool = False
 
     @nn.compact
-    def __call__(self, net, inp, corr, motion):
+    def __call__(self, net, inp, corr, motion, ctx_pre=None):
         """All inputs (E, H, W, C): hidden 128, context 128, corr 196,
         motion 8 (= cam_flow 2 + full_flow 2 + residual 2 + mask 2).
+
+        ``ctx_pre``: optional precomputed GRU gate contributions of the
+        context features (constant across a keyframe's update
+        iterations). When set, ``inp`` is ignored (may be None) and the
+        param tree's GRU kernels must be the ctx-sliced variant (see
+        factor_graph.split_gru_ctx_params).
 
         Returns dict with: net, delta (cam 2), delta_dy (2),
         weight_logits (2), delta_mask (2), and (if use_aff_bri)
@@ -106,8 +115,12 @@ class DynamicUpdateModule(nn.Module):
         f = nn.relu(Conv(128, 7, padding=3, name="flow_enc0")(motion))
         f = nn.relu(Conv(64, 3, name="flow_enc1")(f))
 
-        inp_all = jnp.concatenate([inp, c, f], axis=-1)
-        net = ConvGRU(128, name="gru")(net, inp_all)
+        if ctx_pre is not None:
+            inp_all = jnp.concatenate([c, f], axis=-1)
+            net = ConvGRU(128, name="gru")(net, inp_all, pre=ctx_pre)
+        else:
+            inp_all = jnp.concatenate([inp, c, f], axis=-1)
+            net = ConvGRU(128, name="gru")(net, inp_all)
 
         out = {
             "net": net,

@@ -26,7 +26,17 @@ from pvo_tpu.vo.net.pallas_corr import (  # noqa: E402
     _shift_bank, build_padded_pyramid)
 
 
-def _kernel(f1_ref, c_ref, r_ref, *refs, shapes, blk, merge, store):
+def _pack_mat(dtype):
+    """(8, 8, 64) one-hot: M[dy, dx, dy*8+dx] = 1."""
+    m = np.zeros((PATCH, PATCH, TAPS), np.float32)
+    for dy in range(PATCH):
+        for dx in range(PATCH):
+            m[dy, dx, dy * PATCH + dx] = 1.0
+    return jnp.asarray(m, dtype)
+
+
+def _kernel(f1_ref, c_ref, r_ref, m_ref, *refs, shapes, blk, merge,
+            store):
     n_lvl = len(shapes)
     lvl_refs = refs[:n_lvl]
     out_ref = refs[n_lvl]
@@ -102,6 +112,21 @@ def _kernel(f1_ref, c_ref, r_ref, *refs, shapes, blk, merge, store):
             for dy in range(PATCH):
                 base = l * TAPS + dy * PATCH
                 out_ref[0, :, base:base + PATCH] = patch[:, dy, :]
+        elif store == "matpack":
+            # (blk, 8, 8) -> (blk, 64) via per-dy one-hot placement
+            # matmuls (lane-shift each dy row-block into its slot),
+            # then ONE 64-lane-aligned store
+            M = m_ref[...].astype(sel)  # (8*8, 64)
+            flat = None
+            for dy in range(PATCH):
+                f_dy = jax.lax.dot_general(
+                    patch[:, dy, :].astype(sel),
+                    M[dy * PATCH:(dy + 1) * PATCH, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                flat = f_dy if flat is None else flat + f_dy
+            out_ref[0, :, l * TAPS:(l + 1) * TAPS] = \
+                flat.astype(out_ref.dtype)
         else:
             patches.append(patch)
 
@@ -136,6 +161,8 @@ def run(fmap1, fmap2, coords, blk=256, merge="all", store="dymajor",
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((LANE, PATCH * LANE), lambda e, b: (0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((PATCH * PATCH, TAPS), lambda e, b: (0, 0),
+                     memory_space=pltpu.VMEM),
     ]
     for (H_l, _, _nt), lvl in zip(shapes, levels):
         in_specs.append(pl.BlockSpec(
@@ -151,7 +178,8 @@ def run(fmap1, fmap2, coords, blk=256, merge="all", store="dymajor",
         out_specs=pl.BlockSpec((1, blk, out_ch),
                                lambda e, b: (e, b, 0),
                                memory_space=pltpu.VMEM),
-    )(f1, cfl, _shift_bank(dt), *levels)
+    )(f1, cfl, _shift_bank(dt),
+      _pack_mat(dt).reshape(PATCH * PATCH, TAPS), *levels)
 
 
 def main():
@@ -163,10 +191,7 @@ def main():
         rng.rand(E, H, W, 2) * np.array([W - 1, H - 1]), jnp.float32)
     cases = [
         ("none", "perlevel", "f32"),
-        ("none", "perlevel", "bf16"),
-        ("none", "dymajor", "bf16"),
-        ("axis", "perlevel", "bf16"),
-        ("all", "perlevel", "bf16"),
+        ("none", "matpack", "f32"),
     ]
     for merge, store, seldt in cases:
         ms = device_time_ms(lambda: run(f1, f2, coords, merge=merge,
