@@ -44,7 +44,10 @@ def main():
     from pvo_tpu.vo import frontend as fe_mod
 
     H, W = 240, 808
-    n_warm, n_meas = 24, 30
+    # warmup must run past the first age-based retirements (~frames
+    # 25-32): their shape-bucket cache loads cost seconds each on this
+    # 1-core host (same fix as bench.py)
+    n_warm, n_meas = 40, 30
 
     cfg = VOConfig(image_size=(H, W), buffer=128,
                    filter_thresh=0.01, keyframe_thresh=0.0,
