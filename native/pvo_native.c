@@ -144,3 +144,41 @@ long id_counts(const int64_t *a, long n, int64_t *keys_out,
     return pair_counts(a, a, n, 0 * ONE, keys_out, counts_out,
                        max_out);
 }
+
+/* RGB -> planar YUV420 frame packer (BT.601 full-range, 2x2 chroma
+ * mean) — C twin of utils/yuv.py:rgb_to_yuv420, which costs ~5 ms of
+ * numpy per 240x808 frame on the tracking loop's host thread. Same
+ * float32 math and rounding as the numpy path. */
+void rgb_to_yuv420(const uint8_t *rgb, uint8_t *out, long H, long W) {
+    long hw = H * W;
+    long q = (H / 2) * (W / 2);
+    uint8_t *yp = out;
+    uint8_t *cbp = out + hw;
+    uint8_t *crp = out + hw + q;
+    for (long i = 0; i < H; i += 2) {
+        for (long j = 0; j < W; j += 2) {
+            float cbs = 0.0f, crs = 0.0f;
+            for (int di = 0; di < 2; di++) {
+                for (int dj = 0; dj < 2; dj++) {
+                    long p = (i + di) * W + (j + dj);
+                    float r = (float)rgb[3 * p];
+                    float g = (float)rgb[3 * p + 1];
+                    float b = (float)rgb[3 * p + 2];
+                    float y = 0.299f * r + 0.587f * g + 0.114f * b;
+                    float yr = __builtin_rintf(y);
+                    yp[p] = (uint8_t)(yr < 0.0f ? 0.0f :
+                                      (yr > 255.0f ? 255.0f : yr));
+                    cbs += 128.0f + (b - y) * (1.0f / 1.772f);
+                    crs += 128.0f + (r - y) * (1.0f / 1.402f);
+                }
+            }
+            long c = (i / 2) * (W / 2) + (j / 2);
+            float cb = __builtin_rintf(cbs * 0.25f);
+            float cr = __builtin_rintf(crs * 0.25f);
+            cbp[c] = (uint8_t)(cb < 0.0f ? 0.0f :
+                               (cb > 255.0f ? 255.0f : cb));
+            crp[c] = (uint8_t)(cr < 0.0f ? 0.0f :
+                               (cr > 255.0f ? 255.0f : cr));
+        }
+    }
+}

@@ -44,6 +44,8 @@ def _load():
                                     ctypes.c_int64, i64p, i64p,
                                     ctypes.c_long]
         lib.pair_counts.restype = ctypes.c_long
+        lib.rgb_to_yuv420.argtypes = [u8p, u8p, ctypes.c_long,
+                                      ctypes.c_long]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -99,3 +101,19 @@ def pair_counts(a, b, offset=2 ** 30, max_out=1 << 20):
         return keys, counts.astype(np.int64)
     order = np.argsort(keys[:n])
     return keys[:n][order], counts[:n][order]
+
+
+def rgb_to_yuv420(img):
+    """(H, W, 3) uint8 RGB -> (H*W*3//2,) uint8 planar YUV420, or
+    None when the C library is unavailable (caller falls back to the
+    numpy packer in utils/yuv.py)."""
+    lib = _load()
+    if lib is None or getattr(lib, "rgb_to_yuv420", None) is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    H, W = img.shape[:2]
+    out = np.empty(H * W * 3 // 2, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rgb_to_yuv420(img.ctypes.data_as(u8p),
+                      out.ctypes.data_as(u8p), H, W)
+    return out

@@ -31,6 +31,10 @@ def rgb_to_yuv420(img):
     """
     H, W = img.shape[:2]
     assert H % 2 == 0 and W % 2 == 0, (H, W)
+    from pvo_tpu import native
+    packed = native.rgb_to_yuv420(img)
+    if packed is not None:     # C packer (~7x the numpy throughput)
+        return packed
     f = img.astype(np.float32)
     r, g, b = f[..., 0], f[..., 1], f[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b

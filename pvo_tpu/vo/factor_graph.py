@@ -156,7 +156,8 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
                  net, target_cam, raw_mask, delta_dy,
                  ii, jj, valid, w0, seg_thresh,
                  update_apply, agg_apply, K, S_MAX, segm_filter,
-                 corr_chunk=16, corr_vols=None, ctx_pre=None):
+                 corr_chunk=16, corr_vols=None, ctx_pre=None,
+                 segms_e=None):
     """One recurrent update over all (padded) edges (traced helper).
 
     Returns new (net, target_cam, weight, raw_mask, delta_dy, full_flow,
@@ -219,7 +220,9 @@ def _update_core(params, poses, disps, intrinsics, fmaps, inps, segms,
     bin_mask = (jax.nn.sigmoid(raw_mask) >= DY_THRESH)
 
     if segm_filter:
-        bin_mask = segment_vote_filter(bin_mask, segms[ii], valid,
+        if segms_e is None:
+            segms_e = segms[ii]
+        bin_mask = segment_vote_filter(bin_mask, segms_e, valid,
                                        S_MAX, seg_thresh)
 
     bin_mask = bin_mask.astype(jnp.float32)
@@ -452,24 +455,44 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
         jnp.where(fm, zero2, dy_full[:EB]))
     flow_full = flow_full.at[:EB].set(
         jnp.where(fm, zero2, flow_full[:EB]))
+    from pvo_tpu.utils.mxu import gather_rows
     net_full = net_full.at[:EB].set(
-        jnp.where(fm, nets_buf[ii_r].astype(jnp.float32),
+        jnp.where(fm, gather_rows(nets_buf, ii_r).astype(jnp.float32),
                   net_full[:EB]))
 
-    # NOTE: hoisting the all-pairs volumes out of the step loop
-    # (build_corr_volumes + pallas_corr_extract) measured perf-NEUTRAL
-    # here — extraction saved ~13 ms/frame but XLA copies + the build
-    # ate it — while holding ~1.4 GB of HBM (docs/PERF.md). Volumes
-    # stay transient per lookup.
-    corr_vols = None
+    # hoist the all-pairs volumes out of the step loop (they depend
+    # only on (fmaps, ii, jj)). Round 1 measured this perf-NEUTRAL
+    # because the XLA-built volumes needed a full-HBM relayout copy
+    # before extraction; the Pallas builder emits them in extraction
+    # layout directly, and the cached path now wins ~11 ms/frame at
+    # the 48-edge tracking shapes (6x extract@6.2ms + build@3.5ms vs
+    # 6x full-lookup@8.6ms; scripts/bench_corr.py). Costs ~2 GB HBM
+    # transiently; wide (x-tiled) streams keep the per-step lookup.
+    if _use_pallas_corr(h, w):
+        from pvo_tpu.vo.net.pallas_corr import (corr_level_shapes,
+                                                pallas_build_volumes)
+        vshapes = corr_level_shapes(h, w)
+        if all(n_t == 1 for (_, _, n_t) in vshapes):
+            vols = pallas_build_volumes(gather_rows(fmaps, ii_r),
+                                        gather_rows(fmaps, jj_r))
+            corr_vols = (vols, vshapes)
+        else:
+            corr_vols = None
+    else:
+        corr_vols = None
 
     # hoist the context features' GRU gate contributions out of the
     # 4+2-iteration loop (they depend only on (inps, ii_r))
     if "gru_ctx" in params and edge_chunk is None:
         cdt = jax.tree.leaves(params["update"])[0].dtype
-        ctx_pre = gru_ctx_pre(params["gru_ctx"], inps[ii_r].astype(cdt))
+        ctx_pre = gru_ctx_pre(params["gru_ctx"],
+                              gather_rows(inps, ii_r).astype(cdt))
     else:
         ctx_pre = None
+
+    # the edge->segment gather is loop-invariant too; XLA lowers it as
+    # a sequential row loop (~2.4 ms/frame), so hoist + matmul-gather
+    segms_e = gather_rows(segms, ii_r) if edge_chunk is None else None
 
     def one_step(_, carry):
         (poses, disps, damping, net_full, target_full, weight_full,
@@ -491,7 +514,7 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
                 raw_full[:EB], dy_full[:EB], ii_r, jj_r, valid_r, w0,
                 seg_thresh, update_apply, agg_apply, K, S_MAX,
                 segm_filter, corr_chunk, corr_vols=corr_vols,
-                ctx_pre=ctx_pre)
+                ctx_pre=ctx_pre, segms_e=segms_e)
 
         net_full = net_full.at[:EB].set(net.astype(net_full.dtype))
         target_full = target_full.at[:EB].set(target)

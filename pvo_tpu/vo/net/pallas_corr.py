@@ -270,6 +270,80 @@ def _extract_kernel(c_ref, r_ref, *refs, shapes, blk):
             out_ref[0, :, base:base + PATCH] = patch[:, dy, :]
 
 
+def corr_level_shapes(H, W, num_levels=4):
+    """Static (H_l, W_l, n_t) per level, mirroring
+    :func:`build_padded_pyramid` (floor-halving pool, x-tile count)."""
+    shapes = []
+    for _ in range(num_levels):
+        n_t = 1 if W <= LANE - PATCH else -(-W // TILE_W)
+        shapes.append((H, W, n_t))
+        H, W = H // 2, W // 2
+    return tuple(shapes)
+
+
+def _build_kernel(f1_ref, *refs, shapes, blk):
+    """One (edge, query-block) program of the volume builder: the
+    all-pairs half of :func:`_kernel`, stored instead of consumed."""
+    n_lvl = len(shapes)
+    lvl_refs = refs[:n_lvl]
+    out_refs = refs[n_lvl:]
+    f1 = f1_ref[0] * jnp.asarray(0.0625, f1_ref.dtype)   # (BLK, C)
+    for l, (H_l, W_l, n_t) in enumerate(shapes):
+        f2 = lvl_refs[l][0]                       # (H_l, 1, LANE, C)
+        C = f2.shape[-1]
+        corr = jax.lax.dot_general(
+            f1, f2.reshape(H_l * LANE, C),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (BLK, H_l*LANE)
+        out_refs[l][0] = corr.reshape(
+            blk, H_l, LANE).astype(out_refs[l].dtype)
+
+
+def pallas_build_volumes(fmap1, fmap2, num_levels=4, blk=256):
+    """All-pairs correlation volumes via a Pallas kernel.
+
+    Same contract as :func:`build_corr_volumes` (returns vols only;
+    shapes come from :func:`corr_level_shapes`) but the volumes are
+    BORN in the layout :func:`pallas_corr_extract` wants: the XLA
+    build's dot_general output needed a full-HBM relayout copy per
+    level (~7 ms at the 48-edge tracking shapes) before every chain
+    of extractions, which is why the round-1 volume cache measured
+    perf-neutral. Narrow streams only (n_t == 1 on every level).
+    """
+    E, H, W, C = fmap1.shape
+    HW = H * W
+    HWp = ((HW + blk - 1) // blk) * blk
+    nb = HWp // blk
+    levels, shapes = build_padded_pyramid(fmap2, num_levels)
+
+    f1 = fmap1.reshape(E, HW, C)
+    if HWp != HW:
+        f1 = jnp.concatenate(
+            [f1, jnp.zeros((E, HWp - HW, C), f1.dtype)], axis=1)
+
+    in_specs = [pl.BlockSpec((1, blk, C), lambda e, b: (e, b, 0),
+                             memory_space=pltpu.VMEM)]
+    for (H_l, _, n_t), lvl in zip(shapes, levels):
+        assert n_t == 1, "volume cache supports narrow streams only"
+        in_specs.append(pl.BlockSpec(
+            (1, H_l, 1, LANE, C), lambda e, b: (e, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+    out_shapes = [jax.ShapeDtypeStruct((E, HWp, H_l, LANE), jnp.bfloat16)
+                  for (H_l, _, _) in shapes]
+    out_specs = [pl.BlockSpec((1, blk, H_l, LANE),
+                              lambda e, b: (e, b, 0, 0),
+                              memory_space=pltpu.VMEM)
+                 for (H_l, _, _) in shapes]
+    vols = pl.pallas_call(
+        functools.partial(_build_kernel, shapes=tuple(shapes), blk=blk),
+        out_shape=out_shapes,
+        grid=(E, nb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )(f1, *levels)
+    return tuple(vols)
+
+
 def build_corr_volumes(fmap1, fmap2, num_levels=4, blk=256):
     """All-pairs correlation volumes, padded for the extraction kernel.
 

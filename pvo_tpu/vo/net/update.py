@@ -76,12 +76,14 @@ class GraphAgg(nn.Module):
         E, H, W, C = net.shape
         x = self.pre(net)
 
-        # accumulate the scatter-mean in fp32 even when the convs run
-        # bf16 (the sum spans up to E edges; bf16 accumulation drifts)
+        # scatter-mean as a one-hot MXU matmul with fp32 accumulation
+        # (bf16 accumulation over E edges drifts; jax.ops.segment_sum
+        # lowers to a sequential scatter loop costing ~1.3 ms/call at
+        # tracking shapes, utils/mxu.py)
+        from pvo_tpu.utils.mxu import segment_sum_mm
         ones = jnp.ones((E,), jnp.float32)
-        summed = jax.ops.segment_sum(
-            x.reshape(E, -1).astype(jnp.float32), seg_ids,
-            num_segments=num_frames + 1)
+        summed = segment_sum_mm(x.reshape(E, -1), seg_ids,
+                                num_frames + 1)
         counts = jax.ops.segment_sum(ones, seg_ids,
                                      num_segments=num_frames + 1)
         mean = summed[:num_frames] / jnp.maximum(

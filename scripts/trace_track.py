@@ -32,7 +32,8 @@ def main():
 
     n_trace = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     H, W = 240, 808
-    n_warm = 26
+    # past the first age-based retirements (same fix as bench.py)
+    n_warm = 42
 
     cfg = VOConfig(image_size=(H, W), buffer=128,
                    filter_thresh=0.01, keyframe_thresh=0.0,
