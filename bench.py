@@ -64,7 +64,7 @@ def main():
     for k, (t, img, intr, segm) in enumerate(frames[:n_warm]):
         sysm.track(t, img, intr, segments=segm)
         if k + 1 < len(frames):
-            sysm.prefetch(frames[k + 1][1])
+            sysm.prefetch(frames[k + 1][1], frames[k + 1][3])
 
     jax.block_until_ready(sysm.video.poses)
 
@@ -77,7 +77,8 @@ def main():
         # double-buffered input: next frame's upload streams while
         # this frame's device program runs
         if n_warm + k + 1 < len(frames):
-            sysm.prefetch(frames[n_warm + k + 1][1])
+            sysm.prefetch(frames[n_warm + k + 1][1],
+                          frames[n_warm + k + 1][3])
         per_frame.append(time.perf_counter() - f0)
     jax.block_until_ready(sysm.video.poses)
     dt = time.perf_counter() - t0

@@ -29,6 +29,21 @@ from pvo_tpu.vo.net import corr as corr_ops
 from pvo_tpu.vo.net.droidnet import normalize_images
 
 
+def pack_frame(image, seg_np=None, max_segments=256):
+    """(H, W, 3) uint8 RGB -> 1-D uint8 upload buffer: packed planar
+    YUV420, plus — when ``seg_np`` (h, w) remapped local segment ids
+    are given — the segment map as uint8 tail bytes, so a single h2d
+    transfer carries the whole frame (each separate upload dispatch
+    costs ~1 ms through the remote relay)."""
+    from pvo_tpu.utils.yuv import rgb_to_yuv420
+    buf = rgb_to_yuv420(np.asarray(image))
+    if seg_np is not None:
+        assert max_segments <= 256, "uint8 segment tail"
+        buf = np.concatenate(
+            [buf, np.asarray(seg_np, np.uint8).ravel()])
+    return buf
+
+
 def _probe(params_update, update_apply, fmap_prev, gmap, net, inp):
     """Mean |flow delta| of one update iteration at zero flow
     (reference motion_filter.py:72-80)."""
@@ -66,10 +81,17 @@ def _track_kernel(params, fmap_prev, net_prev, inp_prev,
 
     ``image``: (H, W, 3) uint8 RGB, or (H*W*3//2,) packed planar
     YUV420 (half the upload bytes — utils/yuv.py) reconstructed to
-    RGB here."""
+    RGB here — optionally with the remapped segment map (uint8 local
+    ids, h*w bytes) packed on the tail so one h2d carries both."""
     if image.ndim == 1:
         from pvo_tpu.utils.yuv import yuv420_to_rgb
-        image = yuv420_to_rgb(image, images.shape[1], images.shape[2])
+        H_full, W_full = images.shape[1], images.shape[2]
+        n_img = H_full * W_full * 3 // 2
+        if image.shape[0] > n_img:
+            h, w = segms.shape[1], segms.shape[2]
+            segm = image[n_img:].reshape(h, w).astype(jnp.int32)
+            image = image[:n_img]
+        image = yuv420_to_rgb(image, H_full, W_full)
     x = normalize_images(image[None])
     gmap = fnet_apply(params["fnet"], x)[0]
 
@@ -153,18 +175,26 @@ class MotionFilter:
         frontend program (system.py track choreography)."""
         v = self.video
         first = v.counter == 0
-        if segments is None or not v.segm_filter:
-            if self._zero_segm is None:
-                self._zero_segm = jnp.zeros((v.h, v.w), jnp.int32)
-            segm = self._zero_segm
-        else:
-            segm = jnp.asarray(v._remap_segments(segments))
+        if self._zero_segm is None:
+            self._zero_segm = jnp.zeros((v.h, v.w), jnp.int32)
+        segm = self._zero_segm
         thresh = -1.0 if force else float(self.thresh)
 
-        if self.yuv420 and getattr(image, "ndim", 3) == 3 and \
-                not isinstance(image, jax.Array):
-            from pvo_tpu.utils.yuv import rgb_to_yuv420
-            image = rgb_to_yuv420(np.asarray(image))
+        n_img = v.images.shape[1] * v.images.shape[2] * 3 // 2
+        prepacked = (isinstance(image, jax.Array) and image.ndim == 1
+                     and image.shape[0] > n_img)
+        if not prepacked:
+            seg_np = None
+            if segments is not None and v.segm_filter:
+                seg_np = v._remap_segments(segments)
+            if self.yuv420 and getattr(image, "ndim", 3) == 3 and \
+                    not isinstance(image, jax.Array):
+                # segment map rides the packed frame upload (one h2d)
+                tail = seg_np if v.max_segments <= 256 else None
+                image = pack_frame(image, tail, v.max_segments)
+                seg_np = None if tail is not None else seg_np
+            if seg_np is not None:
+                segm = jnp.asarray(seg_np)
 
         key = tuple(np.asarray(intrinsics, np.float64).tolist())
         if self._intr_cache[0] != key:

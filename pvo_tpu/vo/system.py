@@ -120,18 +120,25 @@ class VOSystem:
             "update": self.modules["update"],
             "agg": self.modules["agg"]}, graph_params)
 
-    def prefetch(self, image):
-        """Queue the NEXT frame's image upload now (double-buffered
+    def prefetch(self, image, segments=None):
+        """Queue the NEXT frame's upload now (double-buffered
         streaming input). Call right after :meth:`track` returns: the
-        ~0.6 MB h2d then streams over the otherwise-idle link while
+        ~0.3 MB h2d then streams over the otherwise-idle link while
         this frame's device program runs, instead of serializing in
         front of the next frame's dispatch (~25 ms/frame through a
         remote relay, docs/PERF.md). The next :meth:`track` call must
-        pass the same frame."""
+        pass the same frame. When ``segments`` is given, the remapped
+        segment map rides the same packed transfer."""
         self._pref_key = image.shape
+        v = self.video
         if self.filterx.yuv420 and image.ndim == 3:
-            from pvo_tpu.utils.yuv import rgb_to_yuv420
-            self._pref = jnp.asarray(rgb_to_yuv420(np.asarray(image)))
+            from pvo_tpu.vo.motion_filter import pack_frame
+            seg_np = None
+            if segments is not None and v.segm_filter and \
+                    v.max_segments <= 256:
+                seg_np = v._remap_segments(segments)
+            self._pref = jnp.asarray(
+                pack_frame(image, seg_np, v.max_segments))
         else:
             self._pref = jnp.asarray(image, jnp.uint8)
 

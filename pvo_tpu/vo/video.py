@@ -87,15 +87,11 @@ class DepthVideo:
         """Host remap of arbitrary panoptic ids -> local [0, S) ids;
         id 0 stays 0 ('no segment', never filtered)."""
         s = np.asarray(segm).reshape(self.h, self.w)
-        uniq = np.unique(s)
-        uniq = uniq[uniq != 0]
-        table = {0: 0}
-        for k, u in enumerate(uniq[: self.max_segments - 1]):
-            table[int(u)] = k + 1
-        out = np.zeros_like(s, dtype=np.int32)
-        for u, l in table.items():
-            out[s == u] = l
-        return out
+        uniq, inv = np.unique(s, return_inverse=True)
+        labels = np.cumsum(uniq != 0).astype(np.int32)  # rank, 1-based
+        labels[uniq == 0] = 0
+        labels[labels > self.max_segments - 1] = 0      # overflow -> 0
+        return labels[inv].reshape(self.h, self.w)
 
     def append(self, tstamp, image, pose=None, disp=None,
                intrinsics=None, fmap=None, net=None, inp=None,

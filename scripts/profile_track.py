@@ -86,16 +86,21 @@ def main():
     sysm.frontend._update = upd.__get__(sysm.frontend)
 
     frames = list(synth_stream(n_warm + n_meas, H, W))
-    for (t, img, intr, segm) in frames[:n_warm]:
+    for k, (t, img, intr, segm) in enumerate(frames[:n_warm]):
         sysm.track(t, img, intr, segments=segm)
+        if k + 1 < len(frames):
+            sysm.prefetch(frames[k + 1][1], frames[k + 1][3])
     jax.block_until_ready(sysm.video.poses)
     for k in TIMES:
         TIMES[k].clear()
 
     t0 = time.perf_counter()
-    for (t, img, intr, segm) in frames[n_warm:]:
+    for k, (t, img, intr, segm) in enumerate(frames[n_warm:]):
         f0 = time.perf_counter()
         sysm.track(t, img, intr, segments=segm)
+        if n_warm + k + 1 < len(frames):
+            sysm.prefetch(frames[n_warm + k + 1][1],
+                          frames[n_warm + k + 1][3])
         TIMES["frame_total"].append(time.perf_counter() - f0)
     jax.block_until_ready(sysm.video.poses)
     wall = time.perf_counter() - t0
