@@ -90,6 +90,90 @@ class RGBDStream(ImageStream):
             yield t, img, intr, d.astype(np.float32) / self.depth_scale
 
 
+class StereoStream:
+    """Left/right image-pair stream (reference stream.py:127-186).
+
+    Pairs ``<datapath>/<left_root>/*.png`` with the same filename under
+    ``right_root`` (unpaired lefts are skipped), takes the timestamp
+    from the filename stem, optionally rectifies each side through a
+    cv2.remap map, rescales the shared intrinsics to ``image_size`` and
+    resizes both images (bilinear, align_corners like the reference's
+    F.interpolate). Yields ``(t, image_l, image_r, intrinsics)`` with
+    images as (H, W, 3) float32 RGB.
+    """
+
+    def __init__(self, datapath, intrinsics, rate=1,
+                 image_size=(384, 512), map_left=None, map_right=None,
+                 left_root="image_left", right_root="image_right"):
+        self.intrinsics = np.asarray(intrinsics, np.float32)
+        self.image_size = tuple(image_size)
+        self.map_left = map_left
+        self.map_right = map_right
+        self.images_l, self.images_r, self.tstamps = [], [], []
+        for img_l in sorted(
+                glob.glob(osp.join(datapath, left_root, "*.png")))[::rate]:
+            img_r = img_l.replace(left_root, right_root)
+            if osp.isfile(img_r):
+                stem = osp.splitext(osp.basename(img_l))[0]
+                try:
+                    t = float(stem)
+                except ValueError:
+                    t = float(len(self.tstamps))
+                self.tstamps.append(t)
+                self.images_l.append(img_l)
+                self.images_r.append(img_r)
+
+    def __len__(self):
+        return len(self.images_l)
+
+    @staticmethod
+    def _read(imfile, imap):
+        import cv2
+        image = cv2.imread(imfile)
+        if imap is not None:
+            image = cv2.remap(image, imap[0], imap[1],
+                              interpolation=cv2.INTER_LINEAR)
+        return cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+
+    @staticmethod
+    def _resize_ac(img, h1, w1):
+        """numpy bilinear resize, torch align_corners=True semantics
+        (src = dst * (S0-1)/(S1-1)) — the reference's F.interpolate
+        call (stream.py:180-182)."""
+        h0, w0 = img.shape[:2]
+
+        def axis_ix(s0, s1):
+            if s1 == 1 or s0 == 1:
+                return (np.zeros(s1, np.int64), np.zeros(s1, np.int64),
+                        np.zeros(s1, np.float32))
+            src = np.arange(s1, dtype=np.float64) * (s0 - 1) / (s1 - 1)
+            lo = np.clip(np.floor(src).astype(np.int64), 0, s0 - 2)
+            return lo, lo + 1, (src - lo).astype(np.float32)
+
+        ylo, yhi, wy = axis_ix(h0, h1)
+        xlo, xhi, wx = axis_ix(w0, w1)
+        top = (img[ylo][:, xlo] * (1 - wx[None, :, None]) +
+               img[ylo][:, xhi] * wx[None, :, None])
+        bot = (img[yhi][:, xlo] * (1 - wx[None, :, None]) +
+               img[yhi][:, xhi] * wx[None, :, None])
+        return top * (1 - wy[:, None, None]) + bot * wy[:, None, None]
+
+    def __getitem__(self, index):
+        img_l = self._read(self.images_l[index], self.map_left)
+        img_r = self._read(self.images_r[index], self.map_right)
+        h0, w0 = img_l.shape[:2]
+        h1, w1 = self.image_size
+        intr = self.intrinsics * np.array(
+            [w1 / w0, h1 / h0, w1 / w0, h1 / h0], np.float32)
+        img_l = self._resize_ac(img_l.astype(np.float32), h1, w1)
+        img_r = self._resize_ac(img_r.astype(np.float32), h1, w1)
+        return self.tstamps[index], img_l, img_r, intr
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
 def dataset_factory(names, **kwargs):
     """Concatenate training datasets by name (reference
     factory.py:19-35). Currently: vkitti2 (the PVO training set);

@@ -99,11 +99,11 @@ def tube_pq_stat(gt_maps, pred_maps, gt_segments, pred_segments,
     gt_segs: Dict[int, dict] = {}
     pred_segs: Dict[int, dict] = {}
     for m, s in zip(gt_maps, gt_segments):
+        # GT areas are TRUSTED from segments_info (the reference never
+        # recomputes them from the PNG — pq_compute.py:88,
+        # 4_eval_vpq.py:96-100); only predictions get their areas
+        # recounted below
         frame = _segments_by_id(s)
-        ids, cnt = np.unique(m, return_counts=True)
-        for i, c in zip(ids, cnt):
-            if int(i) in frame:
-                frame[int(i)]["area"] = int(c)
         for k, v in frame.items():
             if k in gt_segs:
                 gt_segs[k]["area"] += v.get("area", 0)
@@ -172,14 +172,39 @@ def tube_pq_stat(gt_maps, pred_maps, gt_segments, pred_segments,
     return stat
 
 
-def pq_compute(gt_maps, pred_maps, gt_segments, pred_segments,
-               categories):
-    """Per-frame PQ over a dataset (the reference pq_compute keyed by
-    trainId)."""
+def _pq_worker(args):
+    gt_maps, pred_maps, gt_segments, pred_segments, categories = args
     stat = PQStat()
     for g, p, gs, ps in zip(gt_maps, pred_maps, gt_segments,
                             pred_segments):
         stat += tube_pq_stat([g], [p], [gs], [ps], categories)
+    return stat
+
+
+def pq_compute(gt_maps, pred_maps, gt_segments, pred_segments,
+               categories, workers=None):
+    """Per-frame PQ over a dataset (the reference pq_compute keyed by
+    trainId). ``workers``: number of processes for the per-frame stats
+    (reference pq_compute_multi_core, pq_compute.py:217-236 splits the
+    annotation list over cpu_count()//2 workers); None/0/1 runs
+    single-process (the right call below ~hundreds of frames — the C
+    hash kernel makes one frame ~ms-scale)."""
+    n = len(gt_maps)
+    if workers is None:
+        workers = 0
+    if workers in (0, 1) or n < 2 * workers:
+        stat = _pq_worker((gt_maps, pred_maps, gt_segments,
+                           pred_segments, categories))
+    else:
+        import multiprocessing as mp
+        bounds = np.linspace(0, n, workers + 1).astype(int)
+        chunks = [(gt_maps[a:b], pred_maps[a:b], gt_segments[a:b],
+                   pred_segments[a:b], categories)
+                  for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+        stat = PQStat()
+        with mp.get_context("fork").Pool(len(chunks)) as pool:
+            for part in pool.map(_pq_worker, chunks):
+                stat += part
     res = {}
     for name, flag in (("All", None), ("Things", True),
                        ("Stuff", False)):

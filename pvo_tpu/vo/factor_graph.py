@@ -354,22 +354,7 @@ def _update_core_chunked(params, poses, disps, intrinsics, fmaps, inps,
             flow_full, eta[..., 0], cnt_acc[:K] > 0)
 
 
-@functools.partial(
-    jax.jit,
-    donate_argnames=("poses", "disps", "damping", "net_full",
-                     "target_full", "weight_full", "raw_full",
-                     "dy_full", "flow_full", "t_inac", "w_inac"),
-    static_argnames=("update_apply", "agg_apply", "K", "P", "PAIRS",
-                     "S_MAX", "segm_filter", "corr_chunk", "EB",
-                     "EI", "MK", "SK",
-                     "iters", "motion_only", "steps", "steps2", "WD",
-                     "do_seed", "edge_chunk",
-                     # per-callsite-constant float knobs: static, so
-                     # they stop costing a scalar h2d each dispatch
-                     # (~1.6 ms apiece through the remote relay)
-                     "seg_thresh", "damp_fac", "EP", "lm", "ep",
-                     "beta", "kf_thresh"))
-def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
+def _fused_body(params, poses, disps, intrinsics, fmaps, nets_buf,
                 inps, segms, damping,
                 net_full, target_full, weight_full, raw_full, dy_full,
                 flow_full, t_inac, w_inac,
@@ -457,7 +442,7 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
         jnp.where(fm, zero2, flow_full[:EB]))
     from pvo_tpu.utils.mxu import gather_rows
     net_full = net_full.at[:EB].set(
-        jnp.where(fm, gather_rows(nets_buf, ii_r).astype(jnp.float32),
+        jnp.where(fm, gather_rows(nets_buf, ii_r).astype(net_full.dtype),
                   net_full[:EB]))
 
     # hoist the all-pairs volumes out of the step loop (they depend
@@ -579,6 +564,75 @@ def _fused_step(params, poses, disps, intrinsics, fmaps, nets_buf,
 
     return (poses, disps, damping, net_full, target_full, weight_full,
             raw_full, dy_full, flow_full, t_inac, w_inac, packet)
+
+
+_FUSED_STATICS = ("update_apply", "agg_apply", "K", "P", "PAIRS",
+                  "S_MAX", "segm_filter", "corr_chunk", "EB",
+                  "EI", "MK", "SK",
+                  "iters", "motion_only", "steps", "steps2", "WD",
+                  "do_seed", "edge_chunk",
+                  # per-callsite-constant float knobs: static, so
+                  # they stop costing a scalar h2d each dispatch
+                  # (~1.6 ms apiece through the remote relay)
+                  "seg_thresh", "damp_fac", "EP", "lm", "ep",
+                  "beta", "kf_thresh")
+
+_fused_step = functools.partial(
+    jax.jit,
+    donate_argnames=("poses", "disps", "damping", "net_full",
+                     "target_full", "weight_full", "raw_full",
+                     "dy_full", "flow_full", "t_inac", "w_inac"),
+    static_argnames=_FUSED_STATICS)(_fused_body)
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnames=("poses", "disps", "damping", "net_full",
+                     "target_full", "weight_full", "raw_full",
+                     "dy_full", "flow_full", "t_inac", "w_inac",
+                     "fmaps", "nets_buf", "inps", "segms", "images",
+                     "intr_buf"),
+    static_argnames=_FUSED_STATICS + ("fnet_apply", "cnet_apply",
+                                      "mf_first", "mf_thresh"))
+def _fused_step_mf(params, mf_params, poses, disps, fmaps, nets_buf,
+                   inps, segms, images, intr_buf, damping,
+                   net_full, target_full, weight_full, raw_full,
+                   dy_full, flow_full, t_inac, w_inac,
+                   packed, mf_fmap, mf_net, mf_inp, mf_image,
+                   mf_intr8, mf_segm, mf_ix,
+                   seg_thresh, damp_fac, EP, lm, ep, beta, kf_thresh,
+                   update_apply, agg_apply, fnet_apply, cnet_apply,
+                   K, P, PAIRS, S_MAX, segm_filter, corr_chunk,
+                   EB, EI, MK, SK, iters, motion_only,
+                   steps=1, steps2=0, WD=0, do_seed=False,
+                   edge_chunk=None, mf_first=False, mf_thresh=0.0):
+    """The merged per-frame program: the motion filter's probe +
+    conditional keyframe append for frame t (motion_filter.track_body)
+    followed by the fused frontend update for keyframe t-1. One
+    dispatch instead of two (~5 ms/frame of host jit-call overhead
+    through the remote relay, docs/PERF.md round 3); the in-program
+    order (mf first) is exactly the round-2 device-queue order."""
+    from pvo_tpu.vo.motion_filter import track_body
+
+    (admitted, mf_state,
+     (fmaps, nets_buf, inps, segms, images, poses, disps,
+      intr_buf)) = track_body(
+        mf_params, mf_fmap, mf_net, mf_inp,
+        fmaps, nets_buf, inps, segms, images, poses, disps, intr_buf,
+        mf_image, mf_intr8, mf_segm, mf_ix, mf_thresh,
+        fnet_apply, cnet_apply, update_apply, mf_first)
+
+    out = _fused_body(
+        params, poses, disps, intr_buf[0], fmaps, nets_buf, inps,
+        segms, damping, net_full, target_full, weight_full, raw_full,
+        dy_full, flow_full, t_inac, w_inac, packed,
+        seg_thresh, damp_fac, EP, lm, ep, beta, kf_thresh,
+        update_apply, agg_apply, K, P, PAIRS, S_MAX, segm_filter,
+        corr_chunk, EB, EI, MK, SK, iters, motion_only,
+        steps=steps, steps2=steps2, WD=WD, do_seed=do_seed,
+        edge_chunk=edge_chunk)
+    return out + (admitted, mf_state, fmaps, nets_buf, inps, segms,
+                  images, intr_buf)
 
 
 def _retire_prologue(net, target, weight, raw, dy, flow, t_inac,
@@ -710,6 +764,8 @@ class FactorGraph:
         self._pend_store = []
         self._ring_evict = 0
         self._ring_base = 0
+        # (admitted, mf_state) of the last merged-mf fused step
+        self._last_mf = None
 
     # ---------------- host topology ops ----------------
 
@@ -731,15 +787,19 @@ class FactorGraph:
         if len(ii) == 0:
             return
 
-        # active-edge cap (reference factor_graph.py:122-127): when
-        # removing, retire oldest edges to stay under max_factors
-        if remove and self.max_factors > 0:
-            over = self.n_edges + len(ii) - self.max_factors
-            if over > 0:
-                order = np.argsort(-self.age)
-                drop = np.zeros(self.n_edges, bool)
-                drop[order[:over]] = True
-                self.rm_factors(drop, store=True)
+        # active-edge cap (reference factor_graph.py:122-127): retire
+        # edges exactly like the reference does — its mask is
+        # ``argsort(age) >= max_factors - len(new)`` applied in EDGE
+        # order (edge k drops iff the index of the k-th-youngest edge
+        # clears the cap — a permutation quirk of the reference that
+        # coincides with oldest-first only when age is monotone in
+        # insertion order; replicated verbatim so the decision traces
+        # match, tests/test_decision_trace.py)
+        if remove and self.max_factors > 0 and \
+                self.n_edges + len(ii) > self.max_factors:
+            drop = np.argsort(self.age, kind="stable") >= \
+                self.max_factors - len(ii)
+            self.rm_factors(drop, store=True)
 
         # enforce buffer capacity: evict oldest (store as inactive).
         # The reference graph grows unboundedly when remove=False; with
@@ -1015,7 +1075,8 @@ class FactorGraph:
 
     def update(self, t0=None, t1=None, itrs=2, use_inactive=False,
                EP=1e-7, motion_only=False, steps=1, dist_pair=None,
-               steps2=0, kf_thresh=0.0, seed_ix=None, dmat_window=0):
+               steps2=0, kf_thresh=0.0, seed_ix=None, dmat_window=0,
+               mf=None):
         """``steps`` consecutive updates run inside one device program
         (the reference loops graph.update() on the host,
         droid_frontend.py:48-62). ``dist_pair``: optional (i, j) whose
@@ -1025,7 +1086,9 @@ class FactorGraph:
         probe distance >= kf_thresh (frontend keep-keyframe branch).
         ``seed_ix``: slot seeded with the previous pose / mean disp.
         ``dmat_window``: if > 0, append the window distance matrix to
-        the returned packet."""
+        the returned packet. ``mf``: optional motion-filter work dict
+        (see _fused) riding the same program; its (admitted, state)
+        result is stored in ``self._last_mf``."""
         if self.n_edges == 0:
             return None, 0
         if t0 is None:
@@ -1037,7 +1100,7 @@ class FactorGraph:
                         lm=1e-4, ep=0.1, damp_fac=0.2, steps=steps,
                         dist_pair=dist_pair, steps2=steps2,
                         kf_thresh=kf_thresh, seed_ix=seed_ix,
-                        dmat_window=dmat_window)
+                        dmat_window=dmat_window, mf=mf)
         # the steps2 extra updates only run on device when the probe
         # KEEPS the keyframe (reference droid_frontend.py:52-62 ages
         # edges per executed update); the caller credits +steps2 at
@@ -1062,8 +1125,13 @@ class FactorGraph:
 
     def _fused(self, t0, t1, itrs, use_inactive, EP, motion_only,
                lm, ep, damp_fac, steps=1, dist_pair=None, steps2=0,
-               kf_thresh=0.0, seed_ix=None, dmat_window=0):
-        """Host prep (numpy index work only) + ONE device call."""
+               kf_thresh=0.0, seed_ix=None, dmat_window=0, mf=None):
+        """Host prep (numpy index work only) + ONE device call.
+
+        ``mf``: optional motion-filter work for the incoming frame
+        (dict from MotionFilter.prepare + params/apply fns) — merged
+        into the same device program as its prologue
+        (_fused_step_mf)."""
         v = self.video
         h, w = self.h, self.w
         n = self.n_edges
@@ -1142,18 +1210,7 @@ class FactorGraph:
             np.asarray([w0, t0, t1, int(seed_ix), d0, roll]),
         ]).astype(np.int32))
 
-        (v.poses, v.disps, v.damping, self.net, self.target_cam,
-         self.weight, self.raw_mask, self.delta_dy,
-         self.full_flow, self.target_inac, self.weight_inac,
-         packet) = _fused_step(
-            self.params, v.poses, v.disps, v.intrinsics[0], v.fmaps,
-            v.nets, v.inps, v.segms, v.damping,
-            self.net, self.target_cam, self.weight, self.raw_mask,
-            self.delta_dy, self.full_flow,
-            self.target_inac, self.weight_inac,
-            packed_idx, float(v.thresh),
-            float(damp_fac), float(EP), float(lm), float(ep),
-            float(self.beta), float(kf_thresh),
+        kw = dict(
             update_apply=self.update_apply, agg_apply=self.agg_apply,
             K=K, P=P, PAIRS=PAIRS, S_MAX=v.max_segments,
             segm_filter=v.segm_filter, corr_chunk=self.corr_chunk,
@@ -1164,10 +1221,45 @@ class FactorGraph:
                         if self.edge_chunk and
                         EB % self.edge_chunk == 0 and
                         EB > self.edge_chunk else None))
+        floats = (float(v.thresh), float(damp_fac), float(EP),
+                  float(lm), float(ep), float(self.beta),
+                  float(kf_thresh))
+        mf_out = None
+        if mf is not None:
+            (v.poses, v.disps, v.damping, self.net, self.target_cam,
+             self.weight, self.raw_mask, self.delta_dy,
+             self.full_flow, self.target_inac, self.weight_inac,
+             packet, admitted, mf_state, v.fmaps, v.nets, v.inps,
+             v.segms, v.images, v.intrinsics) = _fused_step_mf(
+                self.params, mf["params"], v.poses, v.disps, v.fmaps,
+                v.nets, v.inps, v.segms, v.images, v.intrinsics,
+                v.damping,
+                self.net, self.target_cam, self.weight, self.raw_mask,
+                self.delta_dy, self.full_flow,
+                self.target_inac, self.weight_inac,
+                packed_idx, mf["fmap"], mf["net"], mf["inp"],
+                mf["image"], mf["intr8"], mf["segm"], v.counter,
+                *floats,
+                fnet_apply=mf["fnet_apply"],
+                cnet_apply=mf["cnet_apply"],
+                mf_first=mf["first"], mf_thresh=mf["thresh"], **kw)
+            mf_out = (admitted, mf_state)
+        else:
+            (v.poses, v.disps, v.damping, self.net, self.target_cam,
+             self.weight, self.raw_mask, self.delta_dy,
+             self.full_flow, self.target_inac, self.weight_inac,
+             packet) = _fused_step(
+                self.params, v.poses, v.disps, v.intrinsics[0],
+                v.fmaps, v.nets, v.inps, v.segms, v.damping,
+                self.net, self.target_cam, self.weight, self.raw_mask,
+                self.delta_dy, self.full_flow,
+                self.target_inac, self.weight_inac,
+                packed_idx, *floats, **kw)
         # the prologue applied all deferred retirements; every edge row
         # (incl. fresh inits) now matches the host layout
         self._mark_flushed()
         # single source of truth for the dmat origin the caller must
         # use to interpret the packet's distance matrix
         self._last_d0 = d0
+        self._last_mf = mf_out
         return packet

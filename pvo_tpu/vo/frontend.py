@@ -152,7 +152,11 @@ class Frontend:
 
     # ---------------- per-keyframe update ----------------
 
-    def _update(self):
+    def _update(self, mf=None):
+        """One per-keyframe update. ``mf``: optional motion-filter
+        work for the INCOMING frame (MotionFilter.prepare dict +
+        params/apply fns) merged into the same device program; its
+        (admitted, state) is returned (None when not consumed)."""
         cfg = self.cfg
         self.count += 1
         self.t1 += 1
@@ -169,13 +173,14 @@ class Frontend:
             thresh=cfg.frontend_thresh, beta=cfg.beta, remove=True,
             distance_fn=self._distance_lookup)
 
-        # ONE device program: iters1 updates + removal probe +
+        # ONE device program: (optional) motion-filter prologue for
+        # the incoming frame + iters1 updates + removal probe +
         # conditional iters2 updates + seeding + next distance matrix
         packet, d0 = self.graph.update(
             None, None, use_inactive=True, steps=self.iters1,
             dist_pair=(self.t1 - 3, self.t1 - 2),
             steps2=self.iters2, kf_thresh=cfg.keyframe_thresh,
-            seed_ix=self.t1, dmat_window=DMAT_WINDOW)
+            seed_ix=self.t1, dmat_window=DMAT_WINDOW, mf=mf)
         # queue the d2h NOW (it streams the moment the program
         # retires); starting it at resolve time instead costs an extra
         # relay round-trip on the critical path
@@ -184,6 +189,7 @@ class Frontend:
         except AttributeError:
             pass
         self._packet = (packet, d0, self.t1, self.iters2)
+        return self.graph._last_mf if mf is not None else None
 
     def _initialize(self):
         self.t0 = 0
@@ -204,12 +210,17 @@ class Frontend:
         self.is_initialized = True
         self.video.ready = True
 
-    def __call__(self):
+    def __call__(self, mf=None):
+        """``mf``: optional motion-filter work to merge into the fused
+        update's device program (see _update). Returns its
+        (admitted, state) when consumed, else None — the caller then
+        dispatches the standalone motion-filter program."""
         if not self.is_initialized and \
                 self.video.counter == self.cfg.warmup:
             self._initialize()
         elif self.is_initialized and self.t1 < self.video.counter:
-            self._update()
+            return self._update(mf=mf)
+        return None
 
     def flush(self):
         """Resolve any pending packet (call before terminate/backend:

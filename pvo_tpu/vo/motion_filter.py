@@ -66,17 +66,15 @@ def _probe(params_update, update_apply, fmap_prev, gmap, net, inp):
         out["delta"].astype(jnp.float32), axis=-1))
 
 
-@functools.partial(
-    jax.jit,
-    donate_argnums=(4, 5, 6, 7, 8, 9, 10, 11),
-    static_argnames=("fnet_apply", "cnet_apply", "update_apply",
-                     "first", "thresh"))
-def _track_kernel(params, fmap_prev, net_prev, inp_prev,
-                  fmaps, nets, inps, segms, images, poses, disps,
-                  intrinsics,
-                  image, intr8, segm, ix, thresh,
-                  fnet_apply, cnet_apply, update_apply, first):
-    """One device program per frame. Returns (admitted, new filter
+def track_body(params, fmap_prev, net_prev, inp_prev,
+               fmaps, nets, inps, segms, images, poses, disps,
+               intrinsics,
+               image, intr8, segm, ix, thresh,
+               fnet_apply, cnet_apply, update_apply, first):
+    """Traced per-frame body — one standalone device program via
+    ``_track_kernel``, or inlined as the prologue of the merged
+    track+frontend program (factor_graph._fused_step_mf).
+    Returns (admitted, new filter
     state (fmap, net, inp), updated video buffers).
 
     ``image``: (H, W, 3) uint8 RGB, or (H*W*3//2,) packed planar
@@ -132,6 +130,13 @@ def _track_kernel(params, fmap_prev, net_prev, inp_prev,
     return admitted, state, bufs
 
 
+_track_kernel = functools.partial(
+    jax.jit,
+    donate_argnums=(4, 5, 6, 7, 8, 9, 10, 11),
+    static_argnames=("fnet_apply", "cnet_apply", "update_apply",
+                     "first", "thresh"))(track_body)
+
+
 class MotionFilter:
     def __init__(self, modules, params, video, thresh=2.5):
         self.fnet_apply = modules["fnet"].apply
@@ -165,14 +170,12 @@ class MotionFilter:
         x = normalize_images(jnp.asarray(image, jnp.uint8)[None])
         return self.fnet_apply(self.params["fnet"], x)[0]
 
-    def track_async(self, tstamp, image, intrinsics, segments=None,
-                    force=False):
-        """Dispatch the per-frame program WITHOUT waiting for the
-        admission decision. The kernel conditionally writes the
-        keyframe at slot ``counter`` on device; the host learns whether
-        it did in :meth:`resolve_track`. This lets the caller overlap
-        the admission round-trip with the previous frame's fused
-        frontend program (system.py track choreography)."""
+    def prepare(self, tstamp, image, intrinsics, segments=None,
+                force=False):
+        """Host-side per-frame packing (no device dispatch): returns
+        the track_body kernel arguments, consumed either by
+        :meth:`track_async` (standalone program) or by the merged
+        track+frontend program (factor_graph._fused_step_mf)."""
         v = self.video
         first = v.counter == 0
         if self._zero_segm is None:
@@ -201,25 +204,46 @@ class MotionFilter:
             self._intr_cache = (
                 key, jnp.asarray(intrinsics, jnp.float32) / 8.0)
         intr8 = self._intr_cache[1]
+        return {"image": jnp.asarray(image, jnp.uint8), "intr8": intr8,
+                "segm": segm, "thresh": thresh, "first": first,
+                "tstamp": float(tstamp)}
 
-        (admitted, (self._fmap, self._net, self._inp),
+    def commit_async(self, admitted, state):
+        """Store the new filter state and queue the admission bit's
+        d2h NOW: by the time the host reads it (next frame, pipelined
+        choreography) the transfer has long completed, so
+        resolve_track costs ~0 instead of a round-trip."""
+        self._fmap, self._net, self._inp = state
+        try:
+            admitted.copy_to_host_async()
+        except AttributeError:
+            pass
+
+    def track_async(self, tstamp, image, intrinsics, segments=None,
+                    force=False, prep=None):
+        """Dispatch the per-frame program WITHOUT waiting for the
+        admission decision. The kernel conditionally writes the
+        keyframe at slot ``counter`` on device; the host learns whether
+        it did in :meth:`resolve_track`. This lets the caller overlap
+        the admission round-trip with the previous frame's fused
+        frontend program (system.py track choreography)."""
+        v = self.video
+        if prep is None:
+            prep = self.prepare(tstamp, image, intrinsics, segments,
+                                force)
+
+        (admitted, state,
          (v.fmaps, v.nets, v.inps, v.segms, v.images, v.poses,
           v.disps, v.intrinsics)) = _track_kernel(
             self.params, self._fmap, self._net, self._inp,
             v.fmaps, v.nets, v.inps, v.segms, v.images, v.poses,
             v.disps, v.intrinsics,
-            jnp.asarray(image, jnp.uint8),
-            intr8, segm, v.counter, thresh,
+            prep["image"], prep["intr8"], prep["segm"], v.counter,
+            prep["thresh"],
             fnet_apply=self.fnet_apply, cnet_apply=self.cnet_apply,
-            update_apply=self.update_apply, first=first)
-        # queue the admission bit's d2h NOW: by the time the host reads
-        # it (next frame, pipelined choreography) the transfer has long
-        # completed, so resolve_track costs ~0 instead of a round-trip
-        try:
-            admitted.copy_to_host_async()
-        except AttributeError:
-            pass
-        return (admitted, float(tstamp))
+            update_apply=self.update_apply, first=prep["first"])
+        self.commit_async(admitted, state)
+        return (admitted, prep["tstamp"])
 
     def resolve_track(self, pending):
         """Read the admission bit of a :meth:`track_async` dispatch and

@@ -170,9 +170,32 @@ class VOSystem:
         pending = getattr(self, "_pending_adm", None)
         if pending is not None:
             self.filterx.resolve_track(pending)
-        self._pending_adm = self.filterx.track_async(
-            tstamp, image, intrinsics, segments)
-        self.frontend()
+        fx = self.filterx
+        fe = self.frontend
+        if fe.is_initialized and fe.t1 < self.video.counter:
+            # steady state: the motion-filter work rides the fused
+            # frontend program — ONE dispatch per frame (round-3 merge;
+            # the standalone mf dispatch cost ~5-6 ms/frame of jit-call
+            # overhead through the remote relay)
+            prep = fx.prepare(tstamp, image, intrinsics, segments)
+            mf = dict(prep, params=fx.params, fmap=fx._fmap,
+                      net=fx._net, inp=fx._inp,
+                      fnet_apply=fx.fnet_apply,
+                      cnet_apply=fx.cnet_apply)
+            mf_out = fe(mf=mf)
+            if mf_out is not None:
+                admitted, state = mf_out
+                fx.commit_async(admitted, state)
+                self._pending_adm = (admitted, prep["tstamp"])
+            else:
+                # frontend had no edges to update: fall back to the
+                # standalone motion-filter program
+                self._pending_adm = fx.track_async(
+                    tstamp, image, intrinsics, segments, prep=prep)
+        else:
+            self._pending_adm = fx.track_async(
+                tstamp, image, intrinsics, segments)
+            self.frontend()
 
     def terminate(self, image_stream=None, need_inv=True,
                   backend_steps=(7, 12)):

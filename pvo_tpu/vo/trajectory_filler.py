@@ -5,16 +5,49 @@ trajectory_filler.py): non-keyframes are batched (16 at a time), their
 poses linearly interpolated in the SE3 tangent between bracketing
 keyframes, then refined with 6 motion-only BA iterations against both
 bracketing keyframes.
+
+TPU choreography: each batch is FOUR device programs — batched fnet
+encode, one fused stage-frames program (SE3 tangent interpolation +
+all buffer rows written in-program), the 6-step motion-only update,
+and one pose readback. The round-2 version dispatched per-frame
+(16 eager SE3 chains + 16 fnet calls + 16 multi-field writes) and
+spent 120 s of relay round-trips at 100 keyframes where the device
+work is ~2 s (docs/PERF.md, scripts/profile_terminate.py). Tail
+batches are padded to the full batch width so every batch reuses one
+compiled program; padded rows are discarded at readback.
 """
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from pvo_tpu.lie import se3
 from pvo_tpu.vo.factor_graph import FactorGraph
+from pvo_tpu.vo.net.droidnet import normalize_images
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("N",))
+def _stage_frames(poses, disps, fmaps, intrinsics, gmaps, t0, t1,
+                  wfac, intr8, N):
+    """SE3 tangent interpolation between bracketing keyframes
+    (reference trajectory_filler.py:50-58) + batched temp-frame write
+    at rows [N, N+M): ONE dispatch for the whole batch."""
+    dP = se3.mul(poses[t1], se3.inv(poses[t0]))
+    Gs = se3.mul(se3.exp(se3.log(dP) * wfac), poses[t0])
+    M = gmaps.shape[0]
+    upd = lambda buf, v: jax.lax.dynamic_update_slice_in_dim(
+        buf, v.astype(buf.dtype), N, 0)
+    poses = upd(poses, Gs)
+    disps = upd(disps, jnp.ones((M,) + disps.shape[1:], disps.dtype))
+    fmaps = upd(fmaps, gmaps)
+    intrinsics = upd(intrinsics, intr8)
+    return poses, disps, fmaps, intrinsics
 
 
 class TrajectoryFiller:
@@ -23,47 +56,67 @@ class TrajectoryFiller:
         self.modules = modules
         self.params = params
         self.batch = batch
+        self._graph = None
+        self._feat = None
+
+    def _features_batch(self, filterx, images_u8):
+        """Batched fnet encode: one dispatch for the whole batch."""
+        if self._feat is None:
+            fnet_apply = filterx.fnet_apply
+            fnet_params = filterx.params["fnet"]
+            self._feat = jax.jit(lambda x: fnet_apply(
+                fnet_params, normalize_images(x)))
+        return self._feat(jnp.asarray(images_u8))
 
     def _fill(self, tstamps, images, intrinsics, filterx):
         v = self.video
         N = v.counter
         M = len(tstamps)
-        assert N + M <= v.buffer, (
+        B = min(self.batch, v.buffer - N)
+        assert M <= B, (
             f"trajectory filler stages {M} frames past the {N} "
             f"keyframes; video buffer ({v.buffer}) must be at least "
             f"keyframes + batch ({self.batch})")
 
-        ts = v.tstamp[:N]
-        poses = v.poses[:N]
+        # pad the tail batch to full width (constant shapes -> one
+        # compiled program family); padded rows repeat the last frame
+        # and are dropped at readback
+        pad = B - M
+        tstamps = list(tstamps) + [tstamps[-1]] * pad
+        images = list(images) + [images[-1]] * pad
+        intrinsics = list(intrinsics) + [intrinsics[-1]] * pad
 
+        ts = v.tstamp[:N]                     # host array
         tt = np.asarray(tstamps, np.float64)
         t0 = np.array([np.sum(ts <= t) - 1 for t in tt])
         t1 = np.where(t0 < N - 1, t0 + 1, t0)
+        dt = ts[t1] - ts[t0] + 1e-3
+        wfac = ((tt - ts[t0]) / dt).astype(np.float32)[:, None]
 
-        dt = jnp.asarray(ts[t1] - ts[t0] + 1e-3, jnp.float32)[:, None]
-        dP = se3.mul(poses[jnp.asarray(t1)],
-                     se3.inv(poses[jnp.asarray(t0)]))
-        vel = se3.log(dP) / dt
-        w = vel * jnp.asarray(tt - ts[t0], jnp.float32)[:, None]
-        Gs = se3.mul(se3.exp(w), poses[jnp.asarray(t0)])
+        gmaps = self._features_batch(
+            filterx, np.stack([np.asarray(im, np.uint8)
+                               for im in images]))
+        intr8 = np.stack([np.asarray(i, np.float32) / 8.0
+                          for i in intrinsics])
+        (v.poses, v.disps, v.fmaps, v.intrinsics) = _stage_frames(
+            v.poses, v.disps, v.fmaps, v.intrinsics, gmaps,
+            jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(wfac),
+            jnp.asarray(intr8), N=N)
+        v.tstamp[N:N + B] = tt
+        v.counter = N + B
 
-        # write temporary frames [N, N+M)
-        for k in range(M):
-            gmap = filterx._features(jnp.asarray(images[k], jnp.uint8))
-            v.set_frame(N + k, tstamps[k], image=images[k],
-                        pose=np.asarray(Gs[k]),
-                        disp=np.ones((v.h, v.w), np.float32),
-                        intrinsics=np.asarray(intrinsics[k]) / 8.0,
-                        fmap=gmap)
-
-        graph = FactorGraph(
-            v, self.modules["update"], self.modules["agg"],
-            self.params, max_edges=2 * self.batch + 2, max_inactive=1)
-        kk = np.arange(N, N + M)
+        if self._graph is None:
+            self._graph = FactorGraph(
+                v, self.modules["update"], self.modules["agg"],
+                self.params, max_edges=2 * self.batch + 2,
+                max_inactive=1)
+        graph = self._graph
+        kk = np.arange(N, N + B)
         graph.add_factors(t0, kk)
         graph.add_factors(t1, kk)
 
-        graph.update(N, N + M, motion_only=True, steps=6)
+        graph.update(N, N + B, motion_only=True, steps=6)
+        graph.clear_edges()
 
         out = np.asarray(v.poses[N:N + M])
         v.counter = N

@@ -55,8 +55,12 @@ class PanopticFPN(nn.Module):
         self.fusion_conv1 = Conv(256, 3, name="fusion_conv1")
 
     def features(self, images_bgr):
-        """images_bgr: (B, H, W, 3) float BGR (0..255)."""
-        x = (images_bgr - PIXEL_MEAN) / PIXEL_STD
+        """images_bgr: (B, H, W, 3) float BGR (0..255). Normalization
+        constants follow the input dtype so a bf16 caller stays bf16
+        (f32 numpy constants would promote the whole backbone)."""
+        mean = jnp.asarray(PIXEL_MEAN, images_bgr.dtype)
+        std = jnp.asarray(PIXEL_STD, images_bgr.dtype)
+        x = (images_bgr - mean) / std
         return self.fpn(self.backbone(x))
 
     def fuse(self, feats_cur, feats_warp):
@@ -290,11 +294,16 @@ class PanopticPredictor:
     panoptic_fpn.py:254-308)."""
 
     def __init__(self, params=None, seed=0, image_hw=(375, 1242),
-                 max_dets=100, model_kwargs=None, eager=False):
+                 max_dets=100, model_kwargs=None, eager=False,
+                 bf16=False):
         """``model_kwargs``: PanopticFPN overrides (e.g. tiny
         backbone_blocks for CI); ``eager=True`` skips jit — required
         on 1-core CPU hosts where the full-model XLA compile is
-        prohibitive (see .claude/skills/verify/SKILL.md)."""
+        prohibitive (see .claude/skills/verify/SKILL.md).
+        ``bf16=True`` runs the dense path in bfloat16 (params + image
+        cast inside the jitted program; detections returned f32) —
+        ~halves the backbone's HBM traffic on TPU. The reference runs
+        fp32; opt-in speed mode."""
         self.model = PanopticFPN(**(model_kwargs or {}))
         self.image_hw = image_hw
         self.max_dets = max_dets
@@ -307,21 +316,42 @@ class PanopticPredictor:
         self.params = params
         _jit = (lambda f, **kw: f) if eager else jax.jit
 
-        def _run(p, x_u8, feats_warp=None):
+        def _run_m(m, x_u8, feats_warp=None):
             """On-device wrapper: cast the uint8 image and argmax the
             semantic logits ON DEVICE — shipping the raw (H, W, S)
             f32 logits (24 MB at vkitti res) off-device cost ~10x the
-            panoptic stitch itself."""
-            x = x_u8.astype(jnp.float32)
-            sem_logits, dets = self.model.apply(
-                p, x, feats_warp, max_dets=max_dets)
+            panoptic stitch itself. Also RETURNS the pre-fusion FPN
+            features so the caller can cache them for the next frame's
+            fusion without re-running the backbone (the reference's
+            inference_fusion recomputes ref features per pair,
+            panoptic_fpn.py:193-240; round-2 did the same via a second
+            _feats dispatch — ~50 ms/frame of duplicate R-50+FPN)."""
+            cdt = jnp.bfloat16 if bf16 else jnp.float32
+            x = x_u8.astype(cdt)
+            H, W = x.shape[1:3]
+            feats = m.features(x)
+            run_feats = (m.fuse(feats, feats_warp)
+                         if feats_warp is not None else feats)
+            sem_logits, dets = m.heads(run_feats, (H, W),
+                                       max_dets=max_dets)
             sem = jnp.argmax(sem_logits[0], axis=-1).astype(jnp.int32)
-            return sem, dets
+            dets = jax.tree.map(
+                lambda a: a.astype(jnp.float32)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, dets)
+            return sem, dets, feats
+
+        def _run(p, x_u8, feats_warp=None):
+            if bf16:
+                p = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, p)
+                if feats_warp is not None:
+                    feats_warp = jax.tree.map(
+                        lambda a: a.astype(jnp.bfloat16), feats_warp)
+            return self.model.apply(p, x_u8, feats_warp,
+                                    method=_run_m)
 
         self._apply = _jit(_run)
-        self._feats = _jit(
-            lambda p, x_u8: self.model.apply(
-                p, x_u8.astype(jnp.float32), method="features"))
         self._video_id = None
         self._prev = None  # (feats, image)
         self._prev_pose = None
@@ -371,11 +401,12 @@ class PanopticPredictor:
             warped = flow_warp_features(
                 feats_ref, jnp.asarray(flow, jnp.float32), d,
                 bitcompat=self.bitcompat_flow)
-            sem_dev, dets = self._apply(self.params, x, warped)
+            sem_dev, dets, feats_cur = self._apply(self.params, x,
+                                                   warped)
         else:
-            sem_dev, dets = self._apply(self.params, x)
+            sem_dev, dets, feats_cur = self._apply(self.params, x)
 
-        self._prev = self._feats(self.params, x)
+        self._prev = feats_cur
         self._video_id = video_id
         self._prev_pose = pose_w2c
 

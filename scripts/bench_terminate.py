@@ -58,13 +58,16 @@ def main():
     kf, cold = run_once(n_kf)
     kf, warm = run_once(n_kf)
 
-    print(json.dumps({
+    out = {
         "metric": "vo_terminate_seconds",
         "value": round(warm, 3),
         "unit": f"s @ {kf} keyframes, 240x808 (warm; cold "
                 f"{round(cold, 1)}s incl. compile)",
         "vs_baseline": None,
-    }))
+    }
+    print(json.dumps(out))
+    with open("BENCH_TERMINATE.json", "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -116,11 +116,12 @@ def main():
         gt_segs = []
         for g in gt_maps:
             segs = []
-            for sid in np.unique(g):
+            for sid, area in zip(*np.unique(g, return_counts=True)):
                 if sid == 0:
                     continue
                 segs.append({"id": int(sid),
                              "category_id": int(sid // 10000),
+                             "area": int(area),
                              "iscrowd": 0})
             gt_segs.append(segs)
 

@@ -83,11 +83,14 @@ CATS = {13: {"isthing": 1, "name": "Car"},
 
 
 def segs_of(m, crowd=()):
+    # COCO-panoptic segments always carry "area"; pq.py trusts the GT
+    # json areas like the reference does (pq_compute.py:88)
     out = []
-    for sid in np.unique(m):
+    for sid, area in zip(*np.unique(m, return_counts=True)):
         if sid == 0:
             continue
         out.append({"id": int(sid), "category_id": int(sid // 10000),
+                    "area": int(area),
                     "iscrowd": 1 if sid in crowd else 0})
     return out
 
@@ -129,3 +132,24 @@ class TestPQ:
                                  windows=(1, 5))
         assert per_k[1]["All"]["pq"] > 0.99  # per-frame is perfect
         assert per_k[5]["All"]["pq"] < 0.5   # tube IoU broken by switch
+
+
+def test_pq_multiprocess_matches_single():
+    """pq_compute(workers=2) (reference pq_compute_multi_core analog)
+    must equal the single-process result."""
+    g = np.zeros((24, 32), np.int64)
+    g[4:12, 4:12] = 13 * 10000 + 1
+    g[14:20, 10:28] = 5 * 10000
+    maps_g, maps_p, segs_g, segs_p = [], [], [], []
+    for t in range(8):
+        p = np.roll(g, t % 3, axis=1)
+        maps_g.append(g)
+        maps_p.append(p)
+        segs_g.append(segs_of(g))
+        segs_p.append(segs_of(p))
+    r1, s1 = pq_compute(maps_g, maps_p, segs_g, segs_p, CATS)
+    r2, s2 = pq_compute(maps_g, maps_p, segs_g, segs_p, CATS,
+                        workers=2)
+    assert r1 == r2
+    assert {k: (v.tp, v.fp, v.fn, v.iou) for k, v in s1.per_cat.items()} \
+        == {k: (v.tp, v.fp, v.fn, v.iou) for k, v in s2.per_cat.items()}

@@ -92,3 +92,34 @@ class TestProjectiveTransform:
         flow, valid = projective.induced_flow(
             poses, self.disps, self.intr, self.ii, self.jj)
         np.testing.assert_allclose(flow, 0.0, atol=1e-10)
+
+
+def test_window_distance_matrix_matches_flat_pairs():
+    """The pair-matrix restructuring of window_distance_matrix (X0
+    computed once per frame, broadcast over pairs) must match
+    frame_distance on the flat WD*WD pair list exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pvo_tpu.geom.distance import (frame_distance,
+                                       window_distance_matrix)
+
+    rng = np.random.RandomState(3)
+    F, h, w = 10, 6, 12
+    poses = np.concatenate(
+        [0.1 * rng.randn(F, 3), rng.randn(F, 4)], 1).astype(np.float32)
+    poses[:, 3:] /= np.linalg.norm(poses[:, 3:], axis=1, keepdims=True)
+    disps = (0.5 + rng.rand(F, h, w)).astype(np.float32)
+    intr = np.array([15.0, 15.0, 6.0, 3.0], np.float32)
+    WD, d0 = 6, 2
+    ii, jj = np.meshgrid(np.arange(WD), np.arange(WD), indexing="ij")
+    ref = frame_distance(
+        jnp.asarray(poses[d0:d0 + WD]), jnp.asarray(disps[d0:d0 + WD]),
+        jnp.asarray(intr), ii.reshape(-1), jj.reshape(-1),
+        0.6).reshape(WD, WD)
+    ref = 0.5 * (ref + ref.T)
+    got = window_distance_matrix(
+        jnp.asarray(poses), jnp.asarray(disps), jnp.asarray(intr),
+        d0, WD, 0.6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
