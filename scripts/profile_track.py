@@ -79,10 +79,11 @@ def main():
 
     orig_update = fe_mod.Frontend._update
 
-    def upd(self):
+    def upd(self, *a, **k):
         t0 = time.perf_counter()
-        orig_update(self)
+        out = orig_update(self, *a, **k)
         TIMES["frontend_total"].append(time.perf_counter() - t0)
+        return out
     sysm.frontend._update = upd.__get__(sysm.frontend)
 
     frames = list(synth_stream(n_warm + n_meas, H, W))
