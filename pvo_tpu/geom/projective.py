@@ -35,6 +35,24 @@ def coords_grid(ht, wd, dtype=jnp.float32):
     return jnp.stack([x, y], axis=-1)
 
 
+
+def gather_disp_rows(disps, ii):
+    """``disps[:, ii]`` as an exact one-hot MXU contraction.
+
+    XLA lowers the plain row gather (tens of traced indices from a
+    (B, F, H, W) buffer) to a SEQUENTIAL dynamic-slice loop on TPU —
+    ~3 ms per linearization at the fused tracking DBA's 144 BA edges
+    (scripts/trace_track.py round 3). The one-hot operand has exactly
+    one 1.0 per row, so the f32 contraction is bit-exact. Integer/bool
+    or tiny inputs fall back to the plain gather.
+    """
+    F = disps.shape[1]
+    idx = jnp.asarray(ii)
+    oh = (idx[:, None] == jnp.arange(F, dtype=jnp.int32)[None, :]
+          ).astype(disps.dtype)
+    return jnp.einsum("nf,bf...->bn...", oh, disps)
+
+
 def iproj(disps, intrinsics):
     """Inverse projection: (B,N,H,W) disps + (B,N,4) intrinsics ->
     homogeneous points (B,N,H,W,4) = [X, Y, 1, d]."""
@@ -120,7 +138,7 @@ def projective_transform(poses, disps, intrinsics, ii, jj,
       tuple (Ji, Jj, Jz) with shapes (B,N,H,W,2,6), (B,N,H,W,2,6),
       (B,N,H,W,2,1).
     """
-    X0 = iproj(disps[:, ii], intrinsics[:, ii])
+    X0 = iproj(gather_disp_rows(disps, ii), intrinsics[:, ii])
 
     Gij = se3.mul(poses[:, jj], se3.inv(poses[:, ii]))
     X1, Ja = act_se3(Gij, X0, jacobian=jacobian)
@@ -170,7 +188,7 @@ def projective_jacobian_planes(poses, disps, intrinsics, ii, jj):
     H, W = disps.shape[-2:]
     HW = H * W
 
-    X0 = iproj(disps[:, ii], intrinsics[:, ii])
+    X0 = iproj(gather_disp_rows(disps, ii), intrinsics[:, ii])
     Gij = se3.mul(poses[:, jj], se3.inv(poses[:, ii]))
     X1 = se3.act4(Gij[:, :, None, None], X0)
 

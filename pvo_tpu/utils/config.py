@@ -43,6 +43,11 @@ class VOConfig:
     # False = bit-exact RGB ingest.
     yuv420_upload: bool = True
 
+    # steady-state device-resident topology (vo/planner.py): the
+    # per-frame host packet sync disappears (device+2 relay latencies
+    # -> device only). False = classic host-topology frontend.
+    pipeline: bool = True
+
     # static shape buckets (TPU: compile once, reuse)
     max_edges: int = 128         # frontend active-edge bucket
     max_inactive: int = 96

@@ -1,0 +1,881 @@
+"""Device-resident frontend topology: the zero-sync tracking loop.
+
+Classic mode (factor_graph.py + frontend.py) keeps graph TOPOLOGY on
+the host: every frame the host must read back the fused step's packet
+(keyframe-removal distance + window distance matrix) before it can
+build the next keyframe's edge set, so the per-frame wall time is
+device time + two relay latencies (~30 ms against ~66 ms of compute,
+docs/PERF.md round 3).
+
+Planner mode moves the ENTIRE per-frame host decision procedure into
+the device program. The decisions the host makes at frame t are a pure
+function of state the device already holds at the end of program t-1 —
+the probe distance, the distance matrix, the edge lists and ages — so
+program t computes them itself as a prologue:
+
+  phase A  resolve the deferred keyframe removal from last frame's
+           probe (window shift of the video buffers, edge remap,
+           distance-matrix remap) or credit the conditional-step ages
+           — exactly the host's _apply_packet / rm_keyframe_deferred
+           (frontend.py:83-136)
+  phase B  the motion-filter probe + conditional keyframe append
+           (motion_filter.track_body), counter advanced on device
+  phase C  (cond: a new keyframe exists) aged-edge retirement with
+           inactive-ring stores, the proximity-NMS edge proposal
+           consuming the device-resident distance matrix, the
+           reference's argsort(age) cap-eviction quirk, fresh-edge
+           append — then the classic update phase: fresh-edge init,
+           Pallas corr volumes, 4 recurrent updates + fused DBA,
+           removal probe, conditional 2 more updates, next-pose
+           seeding, and the next window distance matrix.
+
+The host never blocks: it dispatches one program per frame and reads
+back only a small per-frame DECISION RECORD, lazily, two frames behind
+(by which time the d2h has long completed). Topology mirrors are
+reconstructed exactly at disengage time (terminate / backend) from one
+blocking readback of the device edge state.
+
+Decision parity: every phase replicates the host algorithms of
+frontend.py / factor_graph.py value-for-value (same comparisons, same
+orderings, same FIFO ring semantics, same argsort quirks); the
+padded-shape differences only reorder f32 reductions.
+tests/test_planner.py drives both modes over the same synthetic stream
+and asserts identical decision sequences and matching trajectories.
+
+Reference mapping: droid_frontend.py:36-70 (per-keyframe update
+sequence), factor_graph.py:92-157 (add/rm factors), :202-225
+(rm_keyframe), :372-429 (proximity NMS). This file is the TPU-resident
+re-siting of that host logic, not a port.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pvo_tpu.geom import projective
+from pvo_tpu.geom.distance import frame_distance, window_distance_matrix
+from pvo_tpu.utils.mxu import gather_rows
+from pvo_tpu.vo import dba as dba_mod
+from pvo_tpu.vo import factor_graph as fg
+from pvo_tpu.vo.factor_graph import _use_pallas_corr, gru_ctx_pre
+from pvo_tpu.vo.motion_filter import track_body
+
+# static grid widths for the proximity proposal (host ranges are
+# dynamic but bounded: i in [t1-5, t) -> 5 values, j in
+# [t1-frontend_window, t) with the distance matrix only covering the
+# last WD frames)
+CI = 8
+MAXACC = 24          # greedy-accepted pairs per frame (flag on overflow)
+NEWPAD = 2 * (CI * 2) + 2 * MAXACC   # candidate append list width
+REC_W = 12           # decision-record width
+
+# scal[] layout (int32 device state vector)
+S_COUNTER, S_T1, S_PENDING, S_PROBE_T1, S_D0, S_N, S_INACN, S_FLAGS = \
+    range(8)
+SCAL_W = 8
+
+# sticky error flags
+F_PROX_OVF = 1       # greedy NMS hit MAXACC with candidates left
+F_PAIR_OVF = 2       # edge-pair count exceeded the PAIRS bucket
+F_WIN_OVF = 4        # BA pose/depth window exceeded P/K
+F_EMPTY = 8          # edge set empty after proposal
+F_GRID_OVF = 16      # proposal candidate ranges exceeded CI/CJ
+
+# record[] layout
+R_ADM, R_RAN, R_REMOVED, R_RMIX, R_COUNTER, R_T1, R_N, R_INACN, \
+    R_FLAGS, R_NNEW = range(10)
+
+
+# ---------------------------------------------------------------------
+# device topology helpers
+# ---------------------------------------------------------------------
+
+
+def _swap_compact_perm(drop, n, E):
+    """Swap-compaction permutation (device analog of the host plan in
+    factor_graph.rm_factors): surviving rows >= n_new fill the dropped
+    holes below n_new, ascending holes paired with ascending movers.
+    Returns (perm (E,) int32 — source row for each destination row —
+    and n_new). Rows >= n_new keep identity (content dead)."""
+    idx = jnp.arange(E, dtype=jnp.int32)
+    dropm = drop & (idx < n)
+    k = jnp.sum(dropm.astype(jnp.int32))
+    n_new = n - k
+    is_hole = dropm & (idx < n_new)
+    is_mover = (~dropm) & (idx < n) & (idx >= n_new)
+    hole_rank = jnp.cumsum(is_hole.astype(jnp.int32)) - 1
+    mover_rank = jnp.cumsum(is_mover.astype(jnp.int32)) - 1
+    mover_pos = jnp.full((E,), E, jnp.int32).at[
+        jnp.where(is_mover, mover_rank, E)].set(idx, mode="drop")
+    perm = jnp.where(is_hole,
+                     mover_pos[jnp.clip(hole_rank, 0, E - 1)], idx)
+    return perm, n_new
+
+
+def _retire_edges(gt, bufs, drop, store, steps_hint=0):
+    """Drop masked edges: optional FIFO inactive-ring stores (host
+    rm_factors store=True semantics incl. eviction of the oldest
+    entries), then swap-compact the topology vectors and the edge-state
+    buffers. ``gt``: dict with ii/jj/age/valid/n/inac_* ; ``bufs``:
+    (net, target, weight, raw, dy, flow, t_inac, w_inac)."""
+    (net, target, weight, raw, dy, flow, t_inac, w_inac) = bufs
+    E = gt["ii"].shape[0]
+    MI = t_inac.shape[0]
+    n = gt["n"]
+    idx = jnp.arange(E, dtype=jnp.int32)
+    dropm = drop & (idx < n) & gt["valid"]
+    k = jnp.sum(dropm.astype(jnp.int32))
+
+    if store:
+        inac_n = gt["inac_n"]
+        rank = jnp.cumsum(dropm.astype(jnp.int32)) - 1
+        over = jnp.maximum(inac_n + k - MI, 0)
+        roll = jnp.minimum(over, inac_n)       # evicted old entries
+        surv = k - (over - roll)               # pendings that land
+        st_row = inac_n - roll + rank - (k - surv)
+        st_row = jnp.where(dropm & (st_row >= 0) & (st_row < MI),
+                           st_row, MI)
+        # roll old ring content toward 0, then scatter the new stores
+        t_inac = jnp.roll(t_inac, -roll, axis=0).at[st_row].set(
+            target[:E], mode="drop")
+        w_inac = jnp.roll(w_inac, -roll, axis=0).at[st_row].set(
+            weight[:E], mode="drop")
+        gt["inac_ii"] = jnp.roll(gt["inac_ii"], -roll).at[st_row].set(
+            gt["ii"], mode="drop")
+        gt["inac_jj"] = jnp.roll(gt["inac_jj"], -roll).at[st_row].set(
+            gt["jj"], mode="drop")
+        gt["inac_valid"] = jnp.roll(gt["inac_valid"], -roll) \
+            .at[st_row].set(True, mode="drop")
+        gt["inac_n"] = jnp.minimum(inac_n + k, MI)
+
+    perm, n_new = _swap_compact_perm(dropm, n, E)
+    for key in ("ii", "jj", "age"):
+        gt[key] = gt[key][perm]
+    gt["valid"] = idx < n_new
+    gt["n"] = n_new
+
+    def compact(buf):
+        return buf.at[:E].set(buf[:E][perm])
+
+    net, target, weight, raw, dy, flow = (
+        compact(net), compact(target), compact(weight), compact(raw),
+        compact(dy), compact(flow))
+    return gt, (net, target, weight, raw, dy, flow, t_inac, w_inac)
+
+
+def _device_proximity(gt, dmat, d0, t, t1v, CJ, rad, nms, thresh,
+                      window):
+    """Proximity edge proposal from the device-resident distance
+    matrix — value-for-value the host add_proximity_factors
+    (factor_graph.py:987-1060, itself the reference's :372-429):
+    candidate pairs (i in [t1v-5, t), j in [max(t1v-window,0), t)),
+    long-range suppression from existing edges, then greedy accept in
+    distance order with diamond-NMS suppression (suppression only
+    writes inf, so first-surviving-in-sorted-order == argmin). Returns
+    (new_ii, new_jj (NEWPAD,), n_new, flags)."""
+    i0 = t1v - 5
+    j0 = jnp.maximum(t1v - window, 0)
+    ig = i0 + jnp.arange(CI, dtype=jnp.int32)          # (CI,)
+    jg = j0 + jnp.arange(CJ, dtype=jnp.int32)          # (CJ,)
+    mi = ig < t
+    mj = jg < t
+
+    flags = jnp.where((t - i0 > CI) | (t - j0 > CJ),
+                      F_GRID_OVF, 0).astype(jnp.int32)
+
+    a = ig - d0
+    b = jg - d0
+    WD = dmat.shape[0]
+    okd = ((a >= 0) & (a < WD))[:, None] & ((b >= 0) & (b < WD))[None]
+    dval = dmat[jnp.clip(a, 0, WD - 1)][:, jnp.clip(b, 0, WD - 1)]
+    inf = jnp.float32(np.inf)
+    d = jnp.where(okd & mi[:, None] & mj[None, :], dval, inf)
+    # host: d[ii - rad < jj] = inf ; d[d > 100] = inf
+    d = jnp.where(ig[:, None] - rad < jg[None, :], inf, d)
+    d = jnp.where(d > 100.0, inf, d)
+
+    # suppression from existing long-range edges (active + inactive;
+    # the bad store is empty during tracking — asserted at engage)
+    ei = jnp.concatenate([gt["ii"], gt["inac_ii"]])
+    ej = jnp.concatenate([gt["jj"], gt["inac_jj"]])
+    ev = jnp.concatenate([gt["valid"], gt["inac_valid"]])
+    lr = ev & (jnp.abs(ei - ej) > 2)
+    r_e = jnp.clip(jnp.abs(ei - ej) - 2, 0, nms)
+    man = (jnp.abs(ig[:, None, None] - ei[None, None, :]) +
+           jnp.abs(jg[None, :, None] - ej[None, None, :]))
+    sup = jnp.any(lr[None, None, :] & (man <= r_e[None, None, :]),
+                  axis=-1)
+    d = jnp.where(sup, inf, d)
+
+    # greedy accept (lax.while): suppression writes inf only, so
+    # argmin-over-survivors reproduces the host's sorted scan
+    def cond(st):
+        d, acc_i, acc_j, na = st
+        return (jnp.min(d) <= thresh) & (na < MAXACC)
+
+    def body(st):
+        d, acc_i, acc_j, na = st
+        k = jnp.argmin(d)
+        ci, cj = k // CJ, k % CJ
+        i = i0 + ci.astype(jnp.int32)
+        j = j0 + cj.astype(jnp.int32)
+        acc_i = acc_i.at[na].set(i)
+        acc_j = acc_j.at[na].set(j)
+        r = jnp.clip(jnp.abs(i - j) - 2, 0, nms)
+        supd = (jnp.abs(ig[:, None] - i) +
+                jnp.abs(jg[None, :] - j)) <= r
+        return jnp.where(supd, inf, d), acc_i, acc_j, na + 1
+
+    acc_i = jnp.zeros((MAXACC,), jnp.int32)
+    acc_j = jnp.zeros((MAXACC,), jnp.int32)
+    d, acc_i, acc_j, na = jax.lax.while_loop(
+        cond, body, (d, acc_i, acc_j, jnp.int32(0)))
+    flags = flags | jnp.where(jnp.min(d) <= thresh, F_PROX_OVF, 0)
+
+    # candidate append list: neighborhood pairs first (host es prefix,
+    # i ascending then j ascending), then accepted pairs — each as
+    # (i, j) and (j, i)
+    cand_i = []
+    cand_j = []
+    cand_v = []
+    for ci in range(CI):
+        i = i0 + ci
+        vi = (i >= i0) & (i < t)
+        for rr in range(rad):
+            j = i + 1 + rr
+            v = vi & (j < t)
+            cand_i += [i, j]
+            cand_j += [j, i]
+            cand_v += [v, v]
+    for q in range(MAXACC):
+        v = q < na
+        cand_i += [acc_i[q], acc_j[q]]
+        cand_j += [acc_j[q], acc_i[q]]
+        cand_v += [v, v]
+    ci_arr = jnp.stack([jnp.asarray(x, jnp.int32) for x in cand_i])
+    cj_arr = jnp.stack([jnp.asarray(x, jnp.int32) for x in cand_j])
+    cv_arr = jnp.stack([jnp.asarray(x) for x in cand_v])
+
+    # dedup vs existing (active + inactive) only — intra-list
+    # duplicates are kept, exactly like the host add_factors
+    dup = jnp.any((ci_arr[:, None] == ei[None, :]) &
+                  (cj_arr[:, None] == ej[None, :]) & ev[None, :],
+                  axis=-1)
+    keep = cv_arr & (~dup)
+    n_new = jnp.sum(keep.astype(jnp.int32))
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    NC = NEWPAD
+    new_ii = jnp.zeros((NC,), jnp.int32).at[
+        jnp.where(keep, rank, NC)].set(ci_arr, mode="drop")
+    new_jj = jnp.zeros((NC,), jnp.int32).at[
+        jnp.where(keep, rank, NC)].set(cj_arr, mode="drop")
+    return new_ii, new_jj, n_new, flags
+
+
+def _build_pairs(ii_all, valid_all, PAIRS):
+    """Device analog of dba.build_edge_pairs: ordered (a, b) pairs of
+    BA-edge slots sharing a source frame, row-major compacted into the
+    PAIRS bucket. Returns (pa, pb, pv, overflow)."""
+    same = ((ii_all[:, None] == ii_all[None, :]) &
+            valid_all[:, None] & valid_all[None, :])
+    flat = same.reshape(-1)
+    E2 = flat.shape[0]
+    rank = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    total = rank[-1] + 1
+    a_idx = (jnp.arange(E2, dtype=jnp.int32) //
+             ii_all.shape[0]).astype(jnp.int32)
+    b_idx = (jnp.arange(E2, dtype=jnp.int32) %
+             ii_all.shape[0]).astype(jnp.int32)
+    dst = jnp.where(flat & (rank < PAIRS), rank, PAIRS)
+    pa = jnp.zeros((PAIRS,), jnp.int32).at[dst].set(a_idx, mode="drop")
+    pb = jnp.zeros((PAIRS,), jnp.int32).at[dst].set(b_idx, mode="drop")
+    pv = jnp.arange(PAIRS, dtype=jnp.int32) < total
+    return pa, pb, pv, total > PAIRS
+
+
+def _shift_window_rows(buf, ix, end, W4=4):
+    """Remove-keyframe shift: rows [ix, end) <- rows [ix+1, end]
+    (host remove_frame loop, video.py:156-163), static window W4."""
+    F = buf.shape[0]
+    rows = ix + jnp.arange(W4, dtype=jnp.int32)
+    src = jnp.clip(rows + 1, 0, F - 1)
+    vals = buf[src]
+    dst = jnp.where(rows < end, rows, F)
+    return buf.at[dst].set(vals, mode="drop")
+
+
+# ---------------------------------------------------------------------
+# the per-frame program
+# ---------------------------------------------------------------------
+
+
+_PLANNER_STATICS = (
+    "update_apply", "agg_apply", "fnet_apply", "cnet_apply",
+    "K", "P", "PAIRS", "S_MAX", "segm_filter", "EBMAX", "CJ",
+    "iters", "steps", "steps2", "WD", "max_age", "mf_thresh",
+    "rad", "nms", "prox_thresh", "window", "max_factors",
+    "seg_thresh", "damp_fac", "EP", "lm", "ep", "beta", "kf_thresh")
+
+
+def _planner_body(params, mf_params,
+                  poses, disps, fmaps, nets_buf, inps, segms, images,
+                  intr_buf, damping,
+                  net_full, target_full, weight_full, raw_full,
+                  dy_full, flow_full, t_inac, w_inac,
+                  g_ii, g_jj, g_age, g_valid,
+                  inac_ii, inac_jj, inac_valid,
+                  scal, dvec, dmat,
+                  mf_fmap, mf_net, mf_inp, mf_image, mf_intr8, mf_segm,
+                  update_apply, agg_apply, fnet_apply, cnet_apply,
+                  K, P, PAIRS, S_MAX, segm_filter, EBMAX, CJ,
+                  iters, steps, steps2, WD, max_age, mf_thresh,
+                  rad, nms, prox_thresh, window, max_factors,
+                  seg_thresh, damp_fac, EP, lm, ep, beta, kf_thresh):
+    F = poses.shape[0]
+    h, w = disps.shape[-2:]
+    intrinsics = intr_buf[0]
+    counter = scal[S_COUNTER]
+    t1 = scal[S_T1]
+    pending = scal[S_PENDING]
+    probe_t1 = scal[S_PROBE_T1]
+    d0_prev = scal[S_D0]
+    flags0 = scal[S_FLAGS]
+    d_prev = dvec[0]
+
+    gt = {"ii": g_ii, "jj": g_jj, "age": g_age, "valid": g_valid,
+          "inac_ii": inac_ii, "inac_jj": inac_jj,
+          "inac_valid": inac_valid,
+          "n": scal[S_N], "inac_n": scal[S_INACN]}
+    ebufs = (net_full, target_full, weight_full, raw_full, dy_full,
+             flow_full, t_inac, w_inac)
+    vbufs = (poses, disps, intr_buf, nets_buf, inps, fmaps, segms,
+             images)
+
+    # evaluated PRE-removal; removal decrements t1 and counter together
+    # so the predicate is invariant (frontend.py track choreography)
+    update_will_run = t1 < counter
+    do_resolve = update_will_run & (pending == 1)
+
+    # ---------------- phase A: resolve last frame's probe ----------
+    removed = do_resolve & (d_prev < kf_thresh)
+    rm_ix = probe_t1 - 2
+
+    def rm_branch(ops):
+        gt, vbufs, dmat = ops
+        # video-buffer window shift (host rm_keyframe_deferred ->
+        # remove_frame per row)
+        vbufs = tuple(_shift_window_rows(b, rm_ix, counter)
+                      for b in vbufs)
+        # edge remap + drop edges touching the removed slot (host
+        # order: mask BEFORE the decrement)
+        m = ((gt["ii"] == rm_ix) | (gt["jj"] == rm_ix)) & gt["valid"]
+        gt = dict(gt)
+        gt["ii"] = jnp.where(gt["ii"] >= rm_ix, gt["ii"] - 1, gt["ii"])
+        gt["jj"] = jnp.where(gt["jj"] >= rm_ix, gt["jj"] - 1, gt["jj"])
+        gt["inac_ii"] = jnp.where(gt["inac_ii"] >= rm_ix,
+                                  gt["inac_ii"] - 1, gt["inac_ii"])
+        gt["inac_jj"] = jnp.where(gt["inac_jj"] >= rm_ix,
+                                  gt["inac_jj"] - 1, gt["inac_jj"])
+        gt["_drop"] = m
+        # distance-matrix remap over the removed slot (frontend.py:96-102)
+        k = rm_ix - d0_prev
+        idx = jnp.arange(WD, dtype=jnp.int32)
+        mp = jnp.where(idx >= k, idx + 1, idx)
+        oob = mp >= WD
+        dm = dmat[jnp.clip(mp, 0, WD - 1)][:, jnp.clip(mp, 0, WD - 1)]
+        dm = jnp.where(oob[:, None] | oob[None, :],
+                       jnp.float32(np.inf), dm)
+        dm = jnp.where((k >= 0) & (k < WD), dm, dmat)
+        return gt, vbufs, dm
+
+    def keep_branch(ops):
+        gt, vbufs, dmat = ops
+        gt = dict(gt)
+        gt["_drop"] = jnp.zeros((EBMAX,), bool)
+        return gt, vbufs, dmat
+
+    gt, vbufs, dmat = jax.lax.cond(removed, rm_branch, keep_branch,
+                                   (gt, vbufs, dmat))
+    drop_a = gt.pop("_drop")
+    gt, ebufs = _retire_edges(gt, ebufs, drop_a, store=False)
+    # keep-keyframe branch: credit the conditional steps the device
+    # executed last frame (host age_credit, frontend.py:104-110)
+    credit = do_resolve & (~removed)
+    gt["age"] = jnp.where(credit & gt["valid"], gt["age"] + steps2,
+                          gt["age"])
+    counter = counter - removed.astype(jnp.int32)
+    t1 = t1 - removed.astype(jnp.int32)
+    pending = jnp.where(do_resolve, 0, pending)
+
+    (poses, disps, intr_buf, nets_buf, inps, fmaps, segms,
+     images) = vbufs
+
+    # ---------------- phase B: motion filter ------------------------
+    (admitted, mf_state,
+     (fmaps, nets_buf, inps, segms, images, poses, disps,
+      intr_buf)) = track_body(
+        mf_params, mf_fmap, mf_net, mf_inp,
+        fmaps, nets_buf, inps, segms, images, poses, disps, intr_buf,
+        mf_image, mf_intr8, mf_segm, counter, mf_thresh,
+        fnet_apply, cnet_apply, update_apply, False)
+
+    # ---------------- phase C: the frontend update ------------------
+    def update_branch(ops):
+        (gt, poses, disps, damping, net_full, target_full, weight_full,
+         raw_full, dy_full, flow_full, t_inac, w_inac, dmat) = ops
+        gt = dict(gt)
+        flags = jnp.int32(0)
+        t1c = t1 + 1
+        ebufs = (net_full, target_full, weight_full, raw_full, dy_full,
+                 flow_full, t_inac, w_inac)
+
+        # aged-edge retirement (host frontend._update:166-168)
+        gt, ebufs = _retire_edges(gt, ebufs, gt["age"] > max_age,
+                                  store=True)
+
+        # proximity proposal from the device-resident distance matrix
+        new_ii, new_jj, n_new, pflags = _device_proximity(
+            gt, dmat, d0_prev, counter, t1c, CJ, rad, nms,
+            prox_thresh, window)
+        flags = flags | pflags
+
+        # reference cap-eviction quirk (factor_graph.py:793-803):
+        # edge k drops iff argsort(age, stable)[k] >= cap - n_new
+        idx = jnp.arange(EBMAX, dtype=jnp.int32)
+        need = (gt["n"] + n_new > max_factors) & (n_new > 0)
+        keys = jnp.where(gt["valid"], gt["age"], jnp.int32(1 << 30))
+        srt = jnp.argsort(keys, stable=True).astype(jnp.int32)
+        drop_cap = need & (srt >= max_factors - n_new) & gt["valid"]
+        gt, ebufs = _retire_edges(gt, ebufs, drop_cap, store=True)
+
+        # append the fresh edges at rows [n2, n2 + n_new)
+        n2 = gt["n"]
+        rows = n2 + jnp.arange(NEWPAD, dtype=jnp.int32)
+        dst = jnp.where(jnp.arange(NEWPAD) < n_new, rows, EBMAX)
+        gt["ii"] = gt["ii"].at[dst].set(new_ii, mode="drop")
+        gt["jj"] = gt["jj"].at[dst].set(new_jj, mode="drop")
+        gt["age"] = gt["age"].at[dst].set(0, mode="drop")
+        gt["n"] = n2 + n_new
+        gt["valid"] = idx < gt["n"]
+        fresh_mask = (idx >= n2) & (idx < gt["n"])
+        flags = flags | jnp.where(gt["n"] == 0, F_EMPTY, 0)
+
+        (net_full, target_full, weight_full, raw_full, dy_full,
+         flow_full, t_inac, w_inac) = ebufs
+        ii_r, jj_r, valid_r = gt["ii"], gt["jj"], gt["valid"]
+
+        # ---- BA edge set: [inactive ring (window-masked, in place) |
+        # active]; classic compacts the ring selection on the host,
+        # which only permutes f32 reduction order. In-window inactive
+        # counts approach the full ring in steady state, so a tighter
+        # compacted slice is not safe (EI=32 overflowed immediately) ----
+        big = jnp.int32(1 << 20)
+        t0b = jnp.maximum(
+            1, jnp.min(jnp.where(valid_r, ii_r, big)) + 1)
+        t1b = jnp.max(jnp.where(valid_r,
+                                jnp.maximum(ii_r, jj_r), -1)) + 1
+        sel = (gt["inac_valid"] & (gt["inac_ii"] >= t0b - 3) &
+               (gt["inac_jj"] >= t0b - 3))
+        extra_target = t_inac
+        extra_weight = w_inac
+        ii_ba = jnp.concatenate([gt["inac_ii"], ii_r])
+        jj_ba = jnp.concatenate([gt["inac_jj"], jj_r])
+        valid_ba = jnp.concatenate([sel, valid_r])
+        all_ii = jnp.where(valid_ba, ii_ba, big)
+        w0 = jnp.min(all_ii)
+        kmax = jnp.max(jnp.where(valid_ba, ii_ba, -1))
+        flags = flags | jnp.where(
+            (kmax - w0 + 1 > K) | (t1b - t0b > P), F_WIN_OVF, 0)
+        pa, pb, pv, p_ovf = _build_pairs(ii_ba, valid_ba, PAIRS)
+        flags = flags | jnp.where(p_ovf, F_PAIR_OVF, 0)
+
+        # ---- fresh-edge initialization (classic _fused_body) ----
+        intr_b = jnp.broadcast_to(intrinsics, (1, F, 4))
+        coords_new, _ = projective.projective_transform(
+            poses[None], disps[None], intr_b, ii_r, jj_r)
+        fm = fresh_mask[:, None, None, None]
+        zero2 = jnp.zeros((EBMAX, h, w, 2), jnp.float32)
+        target_full = target_full.at[:EBMAX].set(
+            jnp.where(fm, coords_new[0], target_full[:EBMAX]))
+        weight_full = weight_full.at[:EBMAX].set(
+            jnp.where(fm, zero2, weight_full[:EBMAX]))
+        raw_full = raw_full.at[:EBMAX].set(
+            jnp.where(fm, zero2, raw_full[:EBMAX]))
+        dy_full = dy_full.at[:EBMAX].set(
+            jnp.where(fm, zero2, dy_full[:EBMAX]))
+        flow_full = flow_full.at[:EBMAX].set(
+            jnp.where(fm, zero2, flow_full[:EBMAX]))
+        net_full = net_full.at[:EBMAX].set(
+            jnp.where(fm, gather_rows(nets_buf, ii_r)
+                      .astype(net_full.dtype), net_full[:EBMAX]))
+
+        # ---- corr volume cache + hoisted GRU context ----
+        if _use_pallas_corr(h, w):
+            from pvo_tpu.vo.net.pallas_corr import (corr_level_shapes,
+                                                    pallas_build_volumes)
+            vshapes = corr_level_shapes(h, w)
+            if all(n_t == 1 for (_, _, n_t) in vshapes):
+                vols = pallas_build_volumes(gather_rows(fmaps, ii_r),
+                                            gather_rows(fmaps, jj_r))
+                corr_vols = (vols, vshapes)
+            else:
+                corr_vols = None
+        else:
+            corr_vols = None
+        if "gru_ctx" in params:
+            cdt = jax.tree.leaves(params["update"])[0].dtype
+            ctx_pre = gru_ctx_pre(params["gru_ctx"],
+                                  gather_rows(inps, ii_r).astype(cdt))
+        else:
+            ctx_pre = None
+        segms_e = gather_rows(segms, ii_r)
+
+        def one_step(_, carry):
+            (poses, disps, damping, net_full, target_full, weight_full,
+             raw_full, dy_full, flow_full) = carry
+            # late-bound module attr: tests monkeypatch
+            # factor_graph._update_core with an oracle core
+            (net, target, weight, raw, dy, flow, eta,
+             has_edge) = fg._update_core(
+                params, poses, disps, intrinsics, fmaps, inps, segms,
+                net_full[:EBMAX].astype(jnp.float32),
+                target_full[:EBMAX], raw_full[:EBMAX],
+                dy_full[:EBMAX], ii_r, jj_r, valid_r, w0, seg_thresh,
+                update_apply, agg_apply, K, S_MAX, segm_filter,
+                corr_vols=corr_vols, ctx_pre=ctx_pre, segms_e=segms_e)
+
+            net_full = net_full.at[:EBMAX].set(
+                net.astype(net_full.dtype))
+            target_full = target_full.at[:EBMAX].set(target)
+            weight_full = weight_full.at[:EBMAX].set(weight)
+            raw_full = raw_full.at[:EBMAX].set(raw)
+            dy_full = dy_full.at[:EBMAX].set(dy)
+            flow_full = flow_full.at[:EBMAX].set(flow)
+
+            krows = jnp.clip(w0 + jnp.arange(K), 0, F - 1)
+            dwin = jnp.where(has_edge[:, None, None], eta,
+                             damping[krows])
+            damping = damping.at[krows].set(dwin)
+            eta_k = damp_fac * damping[krows] + EP
+
+            target_all = jnp.concatenate(
+                [extra_target, target_full[:EBMAX]], 0)
+            weight_all = jnp.concatenate(
+                [extra_weight, weight_full[:EBMAX]], 0)
+            poses, disps = dba_mod.dba(
+                poses, disps, intrinsics, target_all, weight_all,
+                eta_k, ii_ba, jj_ba, valid_ba, pa, pb, pv,
+                t0b, t1b, w0, P=P, K=K, iters=iters,
+                motion_only=False, ep=ep, lm=lm)
+            return (poses, disps, damping, net_full, target_full,
+                    weight_full, raw_full, dy_full, flow_full)
+
+        carry = (poses, disps, damping, net_full, target_full,
+                 weight_full, raw_full, dy_full, flow_full)
+        carry = jax.lax.fori_loop(0, steps, one_step, carry)
+
+        # removal probe + conditional extra updates (droid_frontend
+        # :52-62 with the branch on device)
+        di = jnp.asarray([t1c - 3], jnp.int32)
+        dj = jnp.asarray([t1c - 2], jnp.int32)
+        d1 = frame_distance(carry[0], carry[1], intrinsics, di, dj,
+                            beta)
+        d2 = frame_distance(carry[0], carry[1], intrinsics, dj, di,
+                            beta)
+        d = 0.5 * (d1 + d2)
+        carry = jax.lax.cond(
+            d[0] >= kf_thresh,
+            lambda c: jax.lax.fori_loop(0, steps2, one_step, c),
+            lambda c: c, carry)
+        (poses, disps, damping, net_full, target_full, weight_full,
+         raw_full, dy_full, flow_full) = carry
+
+        # next-pose seeding (droid_frontend.py:64-66)
+        poses = poses.at[t1c].set(poses[t1c - 1])
+        disps = disps.at[t1c].set(jnp.mean(disps[t1c - 1]))
+
+        # edges age by the executed base steps (host graph.update)
+        gt["age"] = jnp.where(gt["valid"], gt["age"] + steps,
+                              gt["age"])
+
+        # window distance matrix for the NEXT frame's proposal
+        d0n = jnp.maximum(0, counter + 1 - WD)
+        dmat = window_distance_matrix(poses, disps, intrinsics, d0n,
+                                      WD, beta)
+        i32 = lambda x: jnp.asarray(x, jnp.int32)
+        gt["n"] = i32(gt["n"])
+        gt["inac_n"] = i32(gt["inac_n"])
+        return (gt, poses, disps, damping, net_full, target_full,
+                weight_full, raw_full, dy_full, flow_full, t_inac,
+                w_inac, dmat, d[0], i32(d0n), i32(t1c), i32(flags),
+                i32(n_new), jnp.int32(1))
+
+    def skip_branch(ops):
+        (gt, poses, disps, damping, net_full, target_full, weight_full,
+         raw_full, dy_full, flow_full, t_inac, w_inac, dmat) = ops
+        i32 = lambda x: jnp.asarray(x, jnp.int32)
+        gt = dict(gt)
+        gt["n"] = i32(gt["n"])
+        gt["inac_n"] = i32(gt["inac_n"])
+        return (gt, poses, disps, damping, net_full, target_full,
+                weight_full, raw_full, dy_full, flow_full, t_inac,
+                w_inac, dmat, jnp.asarray(d_prev, jnp.float32),
+                i32(d0_prev), i32(t1), jnp.int32(0),
+                jnp.int32(0), jnp.int32(0))
+
+    (net_full, target_full, weight_full, raw_full, dy_full, flow_full,
+     t_inac, w_inac) = ebufs
+    ops = (gt, poses, disps, damping, net_full, target_full,
+           weight_full, raw_full, dy_full, flow_full, t_inac, w_inac,
+           dmat)
+    (gt, poses, disps, damping, net_full, target_full, weight_full,
+     raw_full, dy_full, flow_full, t_inac, w_inac, dmat, d_new, d0_new,
+     t1_new, uflags, n_new, ran) = jax.lax.cond(
+        update_will_run, update_branch, skip_branch, ops)
+
+    pending = jnp.where(ran == 1, 1, pending)
+    probe_t1 = jnp.where(ran == 1, t1_new, probe_t1)
+    counter_out = counter + admitted.astype(jnp.int32)
+    flags = flags0 | uflags
+
+    scal_out = jnp.stack([
+        counter_out, t1_new, pending, probe_t1,
+        jnp.asarray(d0_new, jnp.int32), gt["n"], gt["inac_n"],
+        flags]).astype(jnp.int32)
+    dvec_out = jnp.stack([jnp.asarray(d_new, jnp.float32)])
+
+    record = jnp.stack([
+        admitted.astype(jnp.int32), ran, removed.astype(jnp.int32),
+        rm_ix, counter_out, t1_new, gt["n"], gt["inac_n"], flags,
+        n_new, jnp.int32(0), jnp.int32(0)]).astype(jnp.int32)
+
+    return (poses, disps, fmaps, nets_buf, inps, segms, images,
+            intr_buf, damping,
+            net_full, target_full, weight_full, raw_full, dy_full,
+            flow_full, t_inac, w_inac,
+            gt["ii"], gt["jj"], gt["age"], gt["valid"],
+            gt["inac_ii"], gt["inac_jj"], gt["inac_valid"],
+            scal_out, dvec_out, dmat,
+            mf_state[0], mf_state[1], mf_state[2],
+            record)
+
+
+_planner_step = functools.partial(
+    jax.jit,
+    donate_argnames=(
+        "poses", "disps", "fmaps", "nets_buf", "inps", "segms",
+        "images", "intr_buf", "damping",
+        "net_full", "target_full", "weight_full", "raw_full",
+        "dy_full", "flow_full", "t_inac", "w_inac",
+        "g_ii", "g_jj", "g_age", "g_valid",
+        "inac_ii", "inac_jj", "inac_valid",
+        "scal", "dvec", "dmat", "mf_fmap", "mf_net", "mf_inp"),
+    static_argnames=_PLANNER_STATICS)(_planner_body)
+
+
+# ---------------------------------------------------------------------
+# host driver
+# ---------------------------------------------------------------------
+
+
+class PlannerDriver:
+    """Runs the zero-sync steady-state loop around ``_planner_step``.
+
+    Engaged by VOSystem after initialization once the classic path has
+    produced a resolved distance matrix; disengaged (full blocking
+    readback into the classic numpy mirrors) before terminate /
+    backend so everything downstream is unchanged.
+    """
+
+    EBMAX = 48     # = reference frontend max_factors
+
+    def __init__(self, system):
+        self.sys = system
+        self.engaged = False
+        self.n_removed = 0        # keyframe removals seen in records
+        self._records = []        # [(record_dev, tstamp, resolved)]
+        self._host_counter = 0    # mirror for tstamp bookkeeping
+        self._scal = None
+        self._dvec = None
+        self._dmat = None
+        self._gtop = None         # (ii, jj, age, valid, iii, ijj, iv)
+
+    # ---------------- engagement ----------------
+
+    def can_engage(self):
+        fe = self.sys.frontend
+        g = fe.graph
+        return (fe.is_initialized and fe._dmat is not None and
+                fe._packet is None and g.n_edges > 0 and
+                len(g.ii_bad) == 0 and
+                g.n_edges <= self.EBMAX and
+                len(g.ii_inac) <= g.max_inactive)
+
+    def engage(self):
+        """Blocking one-time sync: flush classic state, upload the
+        topology mirrors + distance matrix as device state."""
+        sysm = self.sys
+        fe, g, v = sysm.frontend, sysm.frontend.graph, sysm.video
+        assert self.can_engage()
+        g.flush_compaction()
+        E = self.EBMAX
+        n = g.n_edges
+        ii = np.zeros(E, np.int32)
+        jj = np.zeros(E, np.int32)
+        age = np.zeros(E, np.int32)
+        ii[:n], jj[:n], age[:n] = g.ii, g.jj, g.age
+        valid = np.arange(E) < n
+        MI = g.max_inactive
+        ni = len(g.ii_inac)
+        iii = np.zeros(MI, np.int32)
+        ijj = np.zeros(MI, np.int32)
+        iii[:ni], ijj[:ni] = g.ii_inac, g.jj_inac
+        iv = np.arange(MI) < ni
+        scal = np.zeros(SCAL_W, np.int32)
+        scal[S_COUNTER] = v.counter
+        scal[S_T1] = fe.t1
+        scal[S_PENDING] = 0
+        scal[S_PROBE_T1] = fe.t1
+        scal[S_D0] = fe._d0
+        scal[S_N] = n
+        scal[S_INACN] = ni
+        self._gtop = tuple(jnp.asarray(x) for x in
+                           (ii, jj, age, valid, iii, ijj, iv))
+        self._scal = jnp.asarray(scal)
+        self._dvec = jnp.asarray(np.zeros(1, np.float32))
+        self._dmat = jnp.asarray(
+            np.asarray(fe._dmat, np.float32))
+        self._host_counter = v.counter
+        self._records = []
+        self.engaged = True
+
+    # ---------------- per-frame ----------------
+
+    def track(self, tstamp, image, intrinsics, segments=None):
+        sysm = self.sys
+        fx, fe, g, v = (sysm.filterx, sysm.frontend,
+                        sysm.frontend.graph, sysm.video)
+        cfg = sysm.cfg
+        prep = fx.prepare(tstamp, image, intrinsics, segments)
+        assert not prep["first"]
+
+        outs = _planner_step(
+            g.params, fx.params,
+            v.poses, v.disps, v.fmaps, v.nets, v.inps, v.segms,
+            v.images, v.intrinsics, v.damping,
+            g.net, g.target_cam, g.weight, g.raw_mask, g.delta_dy,
+            g.full_flow, g.target_inac, g.weight_inac,
+            *self._gtop, self._scal, self._dvec, self._dmat,
+            fx._fmap, fx._net, fx._inp,
+            prep["image"], prep["intr8"], prep["segm"],
+            update_apply=g.update_apply, agg_apply=g.agg_apply,
+            fnet_apply=fx.fnet_apply, cnet_apply=fx.cnet_apply,
+            K=32, P=32, PAIRS=2048, S_MAX=v.max_segments,
+            segm_filter=v.segm_filter, EBMAX=self.EBMAX, CJ=32,
+            iters=2, steps=fe.iters1, steps2=fe.iters2,
+            WD=32, max_age=cfg.max_age,
+            mf_thresh=float(prep["thresh"]),
+            rad=cfg.frontend_radius, nms=cfg.frontend_nms,
+            prox_thresh=float(cfg.frontend_thresh),
+            window=cfg.frontend_window,
+            max_factors=g.max_factors,
+            seg_thresh=float(v.thresh), damp_fac=0.2, EP=1e-7,
+            lm=1e-4, ep=0.1, beta=float(cfg.beta),
+            kf_thresh=float(cfg.keyframe_thresh))
+
+        (v.poses, v.disps, v.fmaps, v.nets, v.inps, v.segms, v.images,
+         v.intrinsics, v.damping,
+         g.net, g.target_cam, g.weight, g.raw_mask, g.delta_dy,
+         g.full_flow, g.target_inac, g.weight_inac) = outs[:17]
+        self._gtop = outs[17:24]
+        self._scal, self._dvec, self._dmat = outs[24:27]
+        fx._fmap, fx._net, fx._inp = outs[27:30]
+        record = outs[30]
+        try:
+            record.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._records.append([record, float(prep["tstamp"]), False])
+        # resolve records two frames behind: their d2h completed while
+        # the frames in between ran on device, so these reads are free
+        while len(self._records) > 2:
+            self._resolve_one()
+
+    def _resolve_one(self):
+        rec_dev, ts, _ = self._records.pop(0)
+        rec = np.asarray(rec_dev)
+        v = self.sys.video
+        if rec[R_FLAGS]:
+            raise RuntimeError(
+                f"planner overflow flags={int(rec[R_FLAGS])}: "
+                "stream exceeded the device-topology static bounds; "
+                "re-run with cfg.pipeline=False")
+        # order matters and matches the device program: the removal
+        # (from the previous frame's probe) lands BEFORE this frame's
+        # admission
+        if rec[R_RAN] and rec[R_REMOVED]:
+            ix = int(rec[R_RMIX])
+            for off in range(ix, self._host_counter - 1):
+                v.tstamp[off] = v.tstamp[off + 1]
+            self._host_counter -= 1
+            self.n_removed += 1
+        if rec[R_ADM]:
+            v.tstamp[self._host_counter] = ts
+            self._host_counter += 1
+            self.sys.filterx.count = 0
+        else:
+            self.sys.filterx.count += 1
+        return rec
+
+    # ---------------- disengagement ----------------
+
+    def disengage(self):
+        """Blocking readback: reconstruct the classic host mirrors
+        (graph topology, counters, pending packet) so terminate /
+        backend run the unchanged classic path."""
+        if not self.engaged:
+            return
+        sysm = self.sys
+        fe, g, v = sysm.frontend, sysm.frontend.graph, sysm.video
+        while self._records:
+            self._resolve_one()
+        scal = np.asarray(self._scal)
+        if scal[S_FLAGS]:
+            raise RuntimeError(
+                f"planner overflow flags={int(scal[S_FLAGS])}")
+        ii, jj, age, valid, iii, ijj, iv = \
+            (np.asarray(x) for x in self._gtop)
+        n = int(scal[S_N])
+        ni = int(scal[S_INACN])
+        g.ii = ii[:n].astype(np.int64)
+        g.jj = jj[:n].astype(np.int64)
+        g.age = age[:n].astype(np.int64)
+        g.fresh = np.zeros(n, bool)
+        g.ii_inac = iii[:ni].astype(np.int64)
+        g.jj_inac = ijj[:ni].astype(np.int64)
+        g._mark_flushed()
+        v.counter = int(scal[S_COUNTER])
+        fe.t1 = int(scal[S_T1])
+        assert v.counter == self._host_counter, \
+            (v.counter, self._host_counter)
+        fe._d0 = int(scal[S_D0])
+        fe._dmat = None
+        dmat_np = np.asarray(self._dmat)
+        if scal[S_PENDING]:
+            # hand the un-consumed probe back to the classic packet
+            # protocol: _apply_packet applies the deferred removal /
+            # age credit exactly as the device phase A would have
+            d = float(np.asarray(self._dvec)[0])
+            packet = np.concatenate(
+                [[d], dmat_np.reshape(-1)]).astype(np.float32)
+            fe._packet = (packet, int(scal[S_D0]),
+                          int(scal[S_PROBE_T1]), fe.iters2)
+        else:
+            fe._packet = None
+            fe._dmat = dmat_np
+        self.engaged = False

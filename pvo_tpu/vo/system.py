@@ -120,6 +120,12 @@ class VOSystem:
             "update": self.modules["update"],
             "agg": self.modules["agg"]}, graph_params)
 
+        # device-resident steady-state topology (vo/planner.py):
+        # engaged after initialization; the per-frame host packet
+        # sync disappears entirely
+        from pvo_tpu.vo.planner import PlannerDriver
+        self.planner = PlannerDriver(self)
+
     def prefetch(self, image, segments=None):
         """Queue the NEXT frame's upload now (double-buffered
         streaming input). Call right after :meth:`track` returns: the
@@ -167,6 +173,9 @@ class VOSystem:
                 getattr(self, "_pref_key", None) == image.shape:
             image = pref
             self._pref = None
+        if self.planner.engaged:
+            return self.planner.track(tstamp, image, intrinsics,
+                                      segments)
         pending = getattr(self, "_pending_adm", None)
         if pending is not None:
             self.filterx.resolve_track(pending)
@@ -192,6 +201,14 @@ class VOSystem:
                 # standalone motion-filter program
                 self._pending_adm = fx.track_async(
                     tstamp, image, intrinsics, segments, prep=prep)
+            # switch the steady state to the device-resident topology
+            # loop: one blocking sync here, then zero per-frame syncs
+            if self.cfg.pipeline and not self.planner.engaged:
+                self.filterx.resolve_track(self._pending_adm)
+                self._pending_adm = None
+                fe.resolve()
+                if self.planner.can_engage():
+                    self.planner.engage()
         else:
             self._pending_adm = fx.track_async(
                 tstamp, image, intrinsics, segments)
@@ -202,6 +219,8 @@ class VOSystem:
         """Run global BA passes and fill non-keyframe poses.
 
         Returns (T, 7) [t, q] trajectory (w2c if need_inv=False)."""
+        if self.planner.engaged:
+            self.planner.disengage()
         pending = getattr(self, "_pending_adm", None)
         if pending is not None:
             self.filterx.resolve_track(pending)
@@ -221,15 +240,24 @@ class VOSystem:
 
     # ---------- accessors (reference droid.py:94-104) ----------
 
+    def _sync(self):
+        """State reads outside the track loop: leave planner mode so
+        the host mirrors (counter, topology) are current."""
+        if self.planner.engaged:
+            self.planner.disengage()
+
     def get_traj(self):
+        self._sync()
         return np.asarray(self.video.poses[:self.video.counter])
 
     def get_depth(self):
+        self._sync()
         t = self.video.counter
         d = self.video.disps[:t][..., None]
         return np.asarray(upsample_inter(d)[..., 0])
 
     def get_flow(self):
+        self._sync()
         t = self.video.counter
         return np.asarray(upsample_inter(
             self.video.full_flow[:t] * 8.0))

@@ -334,7 +334,10 @@ class PanopticPredictor:
                          if feats_warp is not None else feats)
             sem_logits, dets = m.heads(run_feats, (H, W),
                                        max_dets=max_dets)
-            sem = jnp.argmax(sem_logits[0], axis=-1).astype(jnp.int32)
+            # uint8 class ids: the semantic map dominates the per-frame
+            # d2h payload (int32 at 384x1248 was 1.9 MB ~ 42 ms through
+            # the ~45 MB/s relay; uint8 is 4x less). Class count << 256.
+            sem = jnp.argmax(sem_logits[0], axis=-1).astype(jnp.uint8)
             dets = jax.tree.map(
                 lambda a: a.astype(jnp.float32)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, dets)
@@ -365,16 +368,20 @@ class PanopticPredictor:
         self.depth_proj = False
         self.intrinsics = None  # (fx, fy, cx, cy) for depth_proj
 
-    def __call__(self, image_bgr, video_id=None, flow=None, depth=None,
-                 pose_w2c=None):
-        """image_bgr: (H, W, 3) float/uint8 BGR. pose_w2c: optional
-        (4, 4) world-to-camera extrinsic for the depth_proj path.
-        Returns (panoptic (H, W) int32, segments_info, sem_seg, dets).
+    def submit(self, image_bgr, video_id=None, flow=None, depth=None,
+               pose_w2c=None):
+        """Dispatch the dense path for one frame WITHOUT waiting.
 
-        Inputs whose H/W are not multiples of the FPN's largest
-        stride (32) are zero-padded bottom/right like detectron2's
-        ImageList.from_tensors(size_divisibility) and the semantic
-        logits cropped back.
+        Returns an opaque pending handle for :meth:`result`. The d2h
+        copies of the (small) outputs are queued at dispatch time, so
+        by the time the caller resolves the handle — ideally after
+        submitting the NEXT frame — the transfers have ridden out the
+        device time of the frame behind them (~90 ms of h2d + d2h
+        through the ~45 MB/s relay otherwise serializes between device
+        programs; docs/PERF.md round 3). Fusion state (the previous
+        frame's FPN features) advances at submit time, so submitting
+        frame t+1 before resolving frame t is exactly the video
+        semantics of the sequential path.
         """
         H0, W0 = image_bgr.shape[:2]
         ph = (-H0) % 32
@@ -410,14 +417,35 @@ class PanopticPredictor:
         self._video_id = video_id
         self._prev_pose = pose_w2c
 
-        # overlap the d2h copies: each blocking np.asarray over the
-        # remote relay costs ~an RTT even for ready arrays
-        import jax as _jax
-        for leaf in _jax.tree.leaves(dets) + [sem_dev]:
+        # queue the d2h copies NOW: they stream the moment the program
+        # retires instead of paying a relay round-trip at resolve time
+        for leaf in jax.tree.leaves(dets) + [sem_dev]:
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
+        return (sem_dev, dets, (H0, W0))
+
+    def result(self, pending):
+        """Resolve a :meth:`submit` handle: blocking d2h + host
+        panoptic stitch. Returns (pan, segments_info, sem, dets)."""
+        sem_dev, dets, (H0, W0) = pending
         sem = np.asarray(sem_dev)[:H0, :W0]
         dets_np = {k: np.asarray(v) for k, v in dets.items()}
         pan, segs = combine_panoptic(dets_np, sem,
                                      **self.combine_kwargs)
         return pan, segs, sem, dets_np
+
+    def __call__(self, image_bgr, video_id=None, flow=None, depth=None,
+                 pose_w2c=None):
+        """image_bgr: (H, W, 3) float/uint8 BGR. pose_w2c: optional
+        (4, 4) world-to-camera extrinsic for the depth_proj path.
+        Returns (panoptic (H, W) int32, segments_info, sem_seg, dets).
+
+        Inputs whose H/W are not multiples of the FPN's largest
+        stride (32) are zero-padded bottom/right like detectron2's
+        ImageList.from_tensors(size_divisibility) and the semantic
+        logits cropped back. Synchronous convenience form of
+        :meth:`submit` + :meth:`result`; video pipelines should keep
+        one frame in flight via the async pair instead.
+        """
+        return self.result(self.submit(image_bgr, video_id, flow,
+                                       depth, pose_w2c))

@@ -20,14 +20,22 @@ import numpy as np
 
 
 def _measure(predictor, imgs, flow, frames, fusion):
+    """Pipelined video protocol: one frame in flight (submit t+1
+    before resolving t), so the ~90 ms of relay h2d/d2h per frame
+    overlaps the next frame's device program."""
     predictor._video_id = None
     predictor(imgs[0], video_id="bench")
     if fusion:
         predictor(imgs[1], video_id="bench", flow=flow)
     t0 = time.perf_counter()
+    pend = None
     for k in range(2, 2 + frames):
-        predictor(imgs[k], video_id="bench",
-                  flow=flow if fusion else None)
+        nxt = predictor.submit(imgs[k], video_id="bench",
+                               flow=flow if fusion else None)
+        if pend is not None:
+            predictor.result(pend)
+        pend = nxt
+    predictor.result(pend)
     return frames / (time.perf_counter() - t0)
 
 

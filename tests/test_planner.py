@@ -1,0 +1,326 @@
+"""Planner mode (vo/planner.py): device-resident frontend topology.
+
+Three layers of checks:
+
+1. Unit parity of the device topology ops against the HOST
+   implementations they re-site (swap-compaction plan, proximity-NMS
+   proposal) on injected, well-separated inputs — these are exact
+   integer-decision comparisons, no float tolerance.
+2. End-to-end equivalence classic vs planner with the oracle update
+   core (GT reprojection targets): identical admission/removal
+   bookkeeping, identical final topology, matching trajectories.
+   The oracle makes pair distances well-separated so the decisions are
+   robust to the f32 reduction-order differences between the two
+   modes' padded shapes (classic-vs-classic with different edge
+   buckets diverges on knife-edge random streams; that sensitivity is
+   inherent, not planner-specific).
+3. Convergence: the planner-tracked trajectory reaches the known GT
+   (same bar as the classic oracle-convergence regression).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pvo_tpu.utils.config import VOConfig
+from pvo_tpu.vo import factor_graph as fg
+from pvo_tpu.vo import planner as pl
+from pvo_tpu.vo.system import VOSystem
+
+
+# ---------------------------------------------------------------------
+# 1. unit parity
+# ---------------------------------------------------------------------
+
+
+def _host_swap_plan(mask):
+    """The host swap-compaction rule (factor_graph.rm_factors)."""
+    n = len(mask)
+    drop_idx = np.nonzero(mask)[0]
+    n_new = n - len(drop_idx)
+    drop_set = set(drop_idx.tolist())
+    holes = [d for d in drop_idx if d < n_new]
+    movers = [r for r in range(n_new, n) if r not in drop_set]
+    perm = np.arange(n)
+    perm[holes] = movers
+    return perm, n_new
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_swap_compact_perm_matches_host(seed):
+    rng = np.random.RandomState(seed)
+    E = 48
+    n = rng.randint(1, E + 1)
+    drop = np.zeros(E, bool)
+    drop[:n] = rng.rand(n) < 0.4
+    perm, n_new = pl._swap_compact_perm(
+        jnp.asarray(drop), jnp.int32(n), E)
+    hperm, hn_new = _host_swap_plan(drop[:n])
+    assert int(n_new) == hn_new
+    np.testing.assert_array_equal(
+        np.asarray(perm)[:hn_new], hperm[:hn_new])
+
+
+class _FakeVideo:
+    def __init__(self, counter):
+        self.counter = counter
+
+
+def test_device_proximity_matches_host():
+    """Inject a distance matrix with well-separated values and compare
+    the device proposal (greedy NMS + dedup + neighborhood prefix)
+    against the real host add_proximity_factors decision."""
+    rng = np.random.RandomState(7)
+    t = 20          # keyframe count
+    t1v = 20        # post-increment t1
+    d0 = 0
+    WD = 32
+    window, rad, nms, thresh = 25, 2, 1, 12.0
+
+    dmat = np.full((WD, WD), np.inf, np.float32)
+    vals = rng.permutation(400)[: t * t].astype(np.float32)
+    dmat[:t, :t] = (vals * 0.11 + 1.0).reshape(t, t)
+    dmat = 0.5 * (dmat + dmat.T)     # bidirectional metric is symmetric
+
+    # existing graph: some active + inactive edges
+    act = [(14, 12), (15, 13), (16, 14), (17, 15), (18, 16), (19, 17),
+           (12, 16), (16, 12)]
+    inac = [(8, 6), (9, 7), (10, 8), (6, 10)]
+
+    # ---- host decision (the real FactorGraph machinery) ----
+    g = fg.FactorGraph.__new__(fg.FactorGraph)
+    g.video = _FakeVideo(t)
+    g.ii = np.asarray([a for a, b in act], np.int64)
+    g.jj = np.asarray([b for a, b in act], np.int64)
+    g.age = np.zeros(len(act), np.int64)
+    g.fresh = np.zeros(len(act), bool)
+    g._loc = np.arange(len(act), dtype=np.int64)
+    g.ii_inac = np.asarray([a for a, b in inac], np.int64)
+    g.jj_inac = np.asarray([b for a, b in inac], np.int64)
+    g.ii_bad = np.zeros(0, np.int64)
+    g.jj_bad = np.zeros(0, np.int64)
+    g.max_factors = -1               # isolate the proposal itself
+    g.max_edges = 10000
+    g.max_inactive = 10000
+    g._pend_store = []
+    g._ring_evict = 0
+    g._ring_base = len(inac)
+    added = []
+    orig_add = fg.FactorGraph.add_factors
+
+    def spy_add(self, ii, jj, remove=False):
+        n0 = self.n_edges
+        orig_add(self, ii, jj, remove)
+        added.extend(zip(self.ii[n0:].tolist(), self.jj[n0:].tolist()))
+
+    fg.FactorGraph.add_factors = spy_add
+    try:
+        def dist_fn(ii, jj):
+            a = np.asarray(ii) - d0
+            b = np.asarray(jj) - d0
+            ok = (a >= 0) & (a < WD) & (b >= 0) & (b < WD)
+            d = np.full(len(a), np.inf)
+            d[ok] = dmat[a[ok], b[ok]]
+            return d
+
+        g.add_proximity_factors(t1v - 5, max(t1v - window, 0),
+                                rad=rad, nms=nms, thresh=thresh,
+                                remove=True, distance_fn=dist_fn)
+    finally:
+        fg.FactorGraph.add_factors = orig_add
+
+    # ---- device decision ----
+    E, MI = 48, 96
+    gt = {
+        "ii": jnp.zeros(E, jnp.int32).at[:len(act)].set(
+            jnp.asarray([a for a, b in act], jnp.int32)),
+        "jj": jnp.zeros(E, jnp.int32).at[:len(act)].set(
+            jnp.asarray([b for a, b in act], jnp.int32)),
+        "valid": jnp.arange(E) < len(act),
+        "inac_ii": jnp.zeros(MI, jnp.int32).at[:len(inac)].set(
+            jnp.asarray([a for a, b in inac], jnp.int32)),
+        "inac_jj": jnp.zeros(MI, jnp.int32).at[:len(inac)].set(
+            jnp.asarray([b for a, b in inac], jnp.int32)),
+        "inac_valid": jnp.arange(MI) < len(inac),
+    }
+    new_ii, new_jj, n_new, flags = jax.jit(
+        pl._device_proximity,
+        static_argnames=("CJ", "rad", "nms", "thresh", "window"))(
+        gt, jnp.asarray(dmat), jnp.int32(d0), jnp.int32(t),
+        jnp.int32(t1v), CJ=32, rad=rad, nms=nms, thresh=thresh,
+        window=window)
+    assert int(flags) == 0
+    k = int(n_new)
+    got = list(zip(np.asarray(new_ii)[:k].tolist(),
+                   np.asarray(new_jj)[:k].tolist()))
+    assert got == added
+    assert len(got) > 4              # exercised the greedy loop
+
+
+# ---------------------------------------------------------------------
+# 2./3. end-to-end equivalence + convergence (oracle update core)
+# ---------------------------------------------------------------------
+
+
+def _gt_scene(N, h, w):
+    from pvo_tpu.lie import se3
+    tang = np.zeros((N, 6), np.float32)
+    tang[:, 0] = 0.04 * np.arange(N)
+    tang[:, 4] = 0.01 * np.arange(N)
+    gt_poses = jnp.asarray(np.asarray(
+        jax.vmap(se3.exp)(jnp.asarray(tang))))
+    gt_disps = jnp.ones((N, h, w), jnp.float32)
+    return gt_poses, gt_disps
+
+
+def _oracle_core(gt_poses, gt_disps, N):
+    from pvo_tpu.geom import projective
+
+    def oracle(params, poses, disps, intrinsics, fmaps, inps,
+               segms, net, target_cam, raw_mask, delta_dy,
+               ii, jj, valid, w0, seg_thresh, update_apply,
+               agg_apply, K, S_MAX, segm_filter, corr_chunk=16,
+               **_kw):
+        F = poses.shape[0]
+        gp = jnp.concatenate(
+            [gt_poses, jnp.tile(gt_poses[-1:], (F - N, 1))])[None]
+        gd = jnp.concatenate(
+            [gt_disps, jnp.tile(gt_disps[-1:], (F - N, 1, 1))])[None]
+        intr_b = jnp.broadcast_to(intrinsics, (1, F, 4))
+        coords_gt, vmask = projective.projective_transform(
+            gp, gd, intr_b, ii, jj)
+        vm = valid[:, None, None, None].astype(jnp.float32) * \
+            vmask[0].astype(jnp.float32)
+        target = coords_gt[0]
+        weight = jnp.broadcast_to(vm, target.shape)
+        eta = 1e-4 * jnp.ones((K,) + target.shape[1:3], jnp.float32)
+        counts = jax.ops.segment_sum(
+            valid.astype(jnp.int32),
+            jnp.where(valid, ii - w0, K).astype(jnp.int32),
+            num_segments=K + 1)[:K]
+        return (net, target, weight, raw_mask, delta_dy,
+                target - projective.coords_grid(*target.shape[1:3]),
+                eta, counts > 0)
+
+    return oracle
+
+
+def _stream(n, H, W, seed=3):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 255, (H * 2, W * 2, 3), np.uint8)
+    intr = np.array([40.0, 40.0, W / 2, H / 2], np.float32)
+    for t in range(n):
+        dy, dx = (2 * t) % H, (3 * t) % W
+        yield t, base[dy:dy + H, dx:dx + W], intr, None
+
+
+def _run_mode(pipeline, N, H, W, kf_thresh):
+    cfg = VOConfig(image_size=(H, W), buffer=64, warmup=5,
+                   filter_thresh=-1.0, keyframe_thresh=kf_thresh,
+                   frontend_window=8, max_edges=96, max_inactive=64,
+                   segm_filter=False, pipeline=pipeline)
+    sysm = VOSystem(cfg)
+    for (t, img, intr, segm) in _stream(N, H, W):
+        sysm.track(t, img, intr, segments=segm)
+    n_removed = 0
+    if sysm.planner.engaged:
+        assert pipeline
+        sysm.planner.disengage()
+        n_removed = sysm.planner.n_removed
+    else:
+        p = getattr(sysm, "_pending_adm", None)
+        if p is not None:
+            sysm.filterx.resolve_track(p)
+            sysm._pending_adm = None
+    sysm.frontend.resolve()
+    g = sysm.frontend.graph
+    return {
+        "sys": sysm,
+        "counter": sysm.video.counter,
+        "t1": sysm.frontend.t1,
+        "edges": sorted(zip(g.ii.tolist(), g.jj.tolist(),
+                            g.age.tolist())),
+        "inac": sorted(zip(g.ii_inac.tolist(), g.jj_inac.tolist())),
+        "tstamp": np.asarray(
+            sysm.video.tstamp[:sysm.video.counter]).copy(),
+        "traj": np.asarray(
+            sysm.video.poses[:sysm.video.counter]).copy(),
+        "n_removed": n_removed,
+    }
+
+
+@pytest.mark.slow
+def test_planner_matches_classic_and_converges(monkeypatch):
+    from pvo_tpu.lie import se3
+    from pvo_tpu.utils.ate import ate_rmse
+
+    N, H, W = 18, 64, 96
+    h, w = H // 8, W // 8
+    gt_poses, gt_disps = _gt_scene(N, h, w)
+
+    monkeypatch.setattr(fg, "_update_core",
+                        _oracle_core(gt_poses, gt_disps, N))
+    fg._fused_step.clear_cache()
+    fg._fused_step_mf.clear_cache()
+    pl._planner_step.clear_cache()
+    try:
+        classic = _run_mode(False, N, H, W, kf_thresh=0.0)
+        plan = _run_mode(True, N, H, W, kf_thresh=0.0)
+
+        assert plan["counter"] == classic["counter"]
+        assert plan["t1"] == classic["t1"]
+        assert plan["edges"] == classic["edges"]
+        assert plan["inac"] == classic["inac"]
+        np.testing.assert_array_equal(plan["tstamp"],
+                                      classic["tstamp"])
+        # same trajectory up to padded-reduction rounding
+        dt = np.abs(plan["traj"] - classic["traj"]).max()
+        assert dt < 1e-3, dt
+
+        # convergence of the PLANNER path to GT
+        est = jnp.asarray(plan["traj"])
+        k = est.shape[0]
+        est_xyz = np.asarray(se3.inv(est))[:, :3]
+        gt_xyz = np.asarray(se3.inv(gt_poses[:k]))[:, :3]
+        rmse = ate_rmse(est_xyz, gt_xyz)
+        assert np.isfinite(rmse) and rmse < 0.02, rmse
+    finally:
+        fg._fused_step.clear_cache()
+        fg._fused_step_mf.clear_cache()
+        pl._planner_step.clear_cache()
+
+
+@pytest.mark.slow
+def test_planner_keyframe_removal_matches_classic(monkeypatch):
+    """kf_thresh high enough that the probe REMOVES keyframes:
+    exercises planner phase A (video-buffer shift, edge remap, dmat
+    remap) against the classic deferred-removal path."""
+    N, H, W = 18, 64, 96
+    h, w = H // 8, W // 8
+    gt_poses, gt_disps = _gt_scene(N, h, w)
+
+    monkeypatch.setattr(fg, "_update_core",
+                        _oracle_core(gt_poses, gt_disps, N))
+    fg._fused_step.clear_cache()
+    fg._fused_step_mf.clear_cache()
+    pl._planner_step.clear_cache()
+    try:
+        classic = _run_mode(False, N, H, W, kf_thresh=2.0)
+        plan = _run_mode(True, N, H, W, kf_thresh=2.0)
+
+        assert plan["n_removed"] >= 1, \
+            "stream must exercise keyframe removal in planner mode"
+        assert plan["counter"] == classic["counter"]
+        assert plan["t1"] == classic["t1"]
+        assert plan["edges"] == classic["edges"]
+        assert plan["inac"] == classic["inac"]
+        np.testing.assert_array_equal(plan["tstamp"],
+                                      classic["tstamp"])
+        dt = np.abs(plan["traj"] - classic["traj"]).max()
+        assert dt < 1e-3, dt
+    finally:
+        fg._fused_step.clear_cache()
+        fg._fused_step_mf.clear_cache()
+        pl._planner_step.clear_cache()

@@ -90,7 +90,10 @@ def test_oracle_targets_converge_to_gt_trajectory(monkeypatch):
     cfg = VOConfig(image_size=(H, W), buffer=64, warmup=5,
                    filter_thresh=-1.0,       # admit every frame
                    keyframe_thresh=0.0, frontend_window=8,
-                   max_edges=96, max_inactive=64, segm_filter=False)
+                   max_edges=96, max_inactive=64, segm_filter=False,
+                   # classic host-topology path (the planner path has
+                   # its own oracle-convergence run, test_planner.py)
+                   pipeline=False)
     sysm = VOSystem(cfg)
     for (t, img, intr, segm) in _stream(N, H, W):
         sysm.track(t, img, intr, segments=segm)
