@@ -58,16 +58,15 @@ def _pallas_backend_ok():
 
 def _use_pallas_corr(h=None, w=None):
     """Pallas fused corr on TPU (much faster than the XLA gather
-    path); override with PVO_PALLAS_CORR=0/1. Shape-gated: width is
-    handled by the kernel's x-tiling (up to 8 tiles ~ 7168 px wide
-    streams); 1/8-res maps TALLER than the roll-safe lane padding
-    (120, i.e. >960 px) fall back to the XLA path instead of
-    asserting."""
+    path); override with PVO_PALLAS_CORR=0/1. Shape-gated: both axes
+    are handled by the kernel's tiling (up to 8 tiles each ~ 7168 px
+    wide and tall streams); beyond that fall back to the XLA path
+    instead of asserting."""
     if not _pallas_backend_ok():
         return False
     if h is not None or w is not None:
-        from pvo_tpu.vo.net.pallas_corr import LANE, PATCH, TILE_W
-        if (h or 0) > LANE - PATCH or (w or 0) > 8 * TILE_W:
+        from pvo_tpu.vo.net.pallas_corr import TILE_W
+        if (h or 0) > 8 * TILE_W or (w or 0) > 8 * TILE_W:
             return False
     return True
 
@@ -457,7 +456,8 @@ def _fused_body(params, poses, disps, intrinsics, fmaps, nets_buf,
         from pvo_tpu.vo.net.pallas_corr import (corr_level_shapes,
                                                 pallas_build_volumes)
         vshapes = corr_level_shapes(h, w)
-        if all(n_t == 1 for (_, _, n_t) in vshapes):
+        if all(n_t == 1 and m_t == 1
+               for (_, _, n_t, m_t) in vshapes):
             vols = pallas_build_volumes(gather_rows(fmaps, ii_r),
                                         gather_rows(fmaps, jj_r))
             corr_vols = (vols, vshapes)

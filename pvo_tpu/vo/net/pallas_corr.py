@@ -66,18 +66,21 @@ TILE_W = LANE - 2 * PATCH  # 112
 
 
 def build_padded_pyramid(fmap2, num_levels=4):
-    """Pooled fmap2 levels, x-TILED and lane-padded.
+    """Pooled fmap2 levels, x- and y-TILED and lane-padded.
 
-    Each level is (E, H_l, n_t, LANE, C): its true columns partitioned
-    into ``n_t`` tiles of TILE_W, each zero-padded to LANE lanes.
-    Narrow levels (W_l <= LANE - PATCH) keep a single tile. Wide
-    streams (e.g. the 376x1248 test_vo2 export geometry, w=156) get
-    multiple tiles; a lookup window straddling a tile boundary is
-    reconstructed by SUMMING per-tile extractions — every column is
-    owned by exactly one tile, out-of-tile selections land in zero
-    lanes (see _kernel).
+    Each level is (E, m_t, T_H, n_t, LANE, C): its true columns
+    partitioned into ``n_t`` x-tiles of TILE_W zero-padded to LANE
+    lanes, and its rows into ``m_t`` y-tiles of TILE_W rows
+    (T_H = TILE_W when tiled, else the true H_l; the last y-tile's
+    missing rows are zero — a zero f2 row correlates to zero, matching
+    the CUDA out-of-bounds semantics). Narrow/short levels
+    (dim <= LANE - PATCH) keep a single tile on that axis. A lookup
+    window straddling a tile boundary on either axis is reconstructed
+    by SUMMING per-tile extractions — every column/row is owned by
+    exactly one tile, out-of-tile selections land in zero lanes /
+    sliced-off selector lanes (see _kernel).
 
-    Returns (levels, shapes) with shapes[l] = (H_l, W_l, n_t).
+    Returns (levels, shapes) with shapes[l] = (H_l, W_l, n_t, m_t).
     """
     levels, shapes = [], []
     f = fmap2
@@ -96,8 +99,19 @@ def build_padded_pyramid(fmap2, num_levels=4):
             tiled = jnp.concatenate(
                 [tiled, jnp.zeros((E, H, n_t, LANE - TILE_W, C),
                                   f.dtype)], axis=3)
+        # tiled: (E, H, n_t, LANE, C); now partition rows
+        if H <= LANE - PATCH:
+            m_t = 1
+            tiled = tiled[:, None]
+        else:
+            m_t = -(-H // TILE_W)
+            hpad = m_t * TILE_W - H
+            tiled = jnp.concatenate(
+                [tiled, jnp.zeros((E, hpad) + tiled.shape[2:],
+                                  tiled.dtype)], axis=1)
+            tiled = tiled.reshape((E, m_t, TILE_W) + tiled.shape[2:])
         levels.append(tiled)
-        shapes.append((H, W, n_t))
+        shapes.append((H, W, n_t, m_t))
         f = _pool2(f)
     return levels, shapes
 
@@ -173,8 +187,9 @@ def _kernel(f1_ref, c_ref, r_ref, *refs, shapes, blk):
             preferred_element_type=jnp.float32
         ).reshape(blk, PATCH, LANE)
 
-    for l, (H_l, W_l, n_t) in enumerate(shapes):
-        f2 = lvl_refs[l][0]                       # (H_l, n_t, LANE, C)
+    for l, (H_l, W_l, n_t, m_t) in enumerate(shapes):
+        f2 = lvl_refs[l][0]                 # (m_t, T_H, n_t, LANE, C)
+        T_H = f2.shape[1]
         C = f2.shape[-1]
 
         cl = coords * jnp.float32(0.5 ** l)
@@ -182,34 +197,36 @@ def _kernel(f1_ref, c_ref, r_ref, *refs, shapes, blk):
         bx = jnp.floor(x)
         by = jnp.floor(y)
 
-        A_y = _sel(by, y - by)[:, :, :H_l]            # (BLK, 8, H_l)
+        # selectors in TILE-LOCAL coordinates: taps owned by other
+        # tiles select this tile's zero-padded lanes (x) / sliced-off
+        # selector lanes (y), so summing the per-tile extractions
+        # reconstructs windows that straddle a tile boundary
+        B_xs = [_sel(bx - (t * TILE_W), x - bx)       # (BLK, 8, LANE)
+                for t in range(n_t)]
 
         patch = None
-        for t in range(n_t):
-            # MXU: all-pairs correlation rows against THIS x-tile
-            # (bf16 inputs, single-pass K=C accumulation; bf16 result
-            # rounding matches the reference's fp16-autocast corr)
-            corr = jax.lax.dot_general(
-                f1, f2[:, t].reshape(H_l * LANE, C),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (BLK, H_l*LANE)
-            corr3 = corr.reshape(blk, H_l, LANE)
+        for s in range(m_t):
+            A_y = _sel(by - (s * T_H), y - by)[:, :, :T_H]
+            for t in range(n_t):
+                # MXU: all-pairs correlation rows against THIS tile
+                # (bf16 inputs, single-pass K=C accumulation; bf16
+                # result rounding matches the reference's
+                # fp16-autocast corr)
+                corr = jax.lax.dot_general(
+                    f1, f2[s, :, t].reshape(T_H * LANE, C),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                corr3 = corr.reshape(blk, T_H, LANE)
 
-            # selector in TILE-LOCAL x coordinates: taps owned by
-            # other tiles select this tile's zero-padded lanes, so
-            # summing the per-tile extractions reconstructs windows
-            # that straddle a tile boundary
-            B_x = _sel(bx - (t * TILE_W), x - bx)     # (BLK, 8, LANE)
-
-            tmp = jax.lax.dot_general(
-                A_y, corr3,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)   # (BLK, 8, LANE)
-            p_t = jax.lax.dot_general(
-                tmp, B_x,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)   # (BLK, 8, 8)
-            patch = p_t if patch is None else patch + p_t
+                tmp = jax.lax.dot_general(
+                    A_y, corr3,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # (BLK,8,LANE)
+                p_t = jax.lax.dot_general(
+                    tmp, B_xs[t],
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # (BLK, 8, 8)
+                patch = p_t if patch is None else patch + p_t
         patch = patch.astype(out_ref.dtype)
 
         # 8-lane-aligned stores of the level's 64-tap block (Mosaic
@@ -244,7 +261,7 @@ def _extract_kernel(c_ref, r_ref, *refs, shapes, blk):
             preferred_element_type=jnp.float32
         ).reshape(blk, PATCH, LANE)
 
-    for l, (H_l, W_l, _n_t) in enumerate(shapes):
+    for l, (H_l, W_l, _n_t, _m_t) in enumerate(shapes):
         corr3 = vol_refs[l][0].astype(jnp.float32)    # (BLK, H_l, LANE)
 
         cl = coords * jnp.float32(0.5 ** l)
@@ -271,12 +288,13 @@ def _extract_kernel(c_ref, r_ref, *refs, shapes, blk):
 
 
 def corr_level_shapes(H, W, num_levels=4):
-    """Static (H_l, W_l, n_t) per level, mirroring
-    :func:`build_padded_pyramid` (floor-halving pool, x-tile count)."""
+    """Static (H_l, W_l, n_t, m_t) per level, mirroring
+    :func:`build_padded_pyramid` (floor-halving pool, tile counts)."""
     shapes = []
     for _ in range(num_levels):
         n_t = 1 if W <= LANE - PATCH else -(-W // TILE_W)
-        shapes.append((H, W, n_t))
+        m_t = 1 if H <= LANE - PATCH else -(-H // TILE_W)
+        shapes.append((H, W, n_t, m_t))
         H, W = H // 2, W // 2
     return tuple(shapes)
 
@@ -288,8 +306,8 @@ def _build_kernel(f1_ref, *refs, shapes, blk):
     lvl_refs = refs[:n_lvl]
     out_refs = refs[n_lvl:]
     f1 = f1_ref[0] * jnp.asarray(0.0625, f1_ref.dtype)   # (BLK, C)
-    for l, (H_l, W_l, n_t) in enumerate(shapes):
-        f2 = lvl_refs[l][0]                       # (H_l, 1, LANE, C)
+    for l, (H_l, W_l, n_t, m_t) in enumerate(shapes):
+        f2 = lvl_refs[l][0]                    # (1, H_l, 1, LANE, C)
         C = f2.shape[-1]
         corr = jax.lax.dot_general(
             f1, f2.reshape(H_l * LANE, C),
@@ -323,17 +341,18 @@ def pallas_build_volumes(fmap1, fmap2, num_levels=4, blk=256):
 
     in_specs = [pl.BlockSpec((1, blk, C), lambda e, b: (e, b, 0),
                              memory_space=pltpu.VMEM)]
-    for (H_l, _, n_t), lvl in zip(shapes, levels):
-        assert n_t == 1, "volume cache supports narrow streams only"
+    for (H_l, _, n_t, m_t), lvl in zip(shapes, levels):
+        assert n_t == 1 and m_t == 1, \
+            "volume cache supports narrow streams only"
         in_specs.append(pl.BlockSpec(
-            (1, H_l, 1, LANE, C), lambda e, b: (e, 0, 0, 0, 0),
+            (1, 1, H_l, 1, LANE, C), lambda e, b: (e, 0, 0, 0, 0, 0),
             memory_space=pltpu.VMEM))
     out_shapes = [jax.ShapeDtypeStruct((E, HWp, H_l, LANE), jnp.bfloat16)
-                  for (H_l, _, _) in shapes]
+                  for (H_l, _, _, _) in shapes]
     out_specs = [pl.BlockSpec((1, blk, H_l, LANE),
                               lambda e, b: (e, b, 0, 0),
                               memory_space=pltpu.VMEM)
-                 for (H_l, _, _) in shapes]
+                 for (H_l, _, _, _) in shapes]
     vols = pl.pallas_call(
         functools.partial(_build_kernel, shapes=tuple(shapes), blk=blk),
         out_shape=out_shapes,
@@ -363,9 +382,10 @@ def build_corr_volumes(fmap1, fmap2, num_levels=4, blk=256):
             [f1, jnp.zeros((E, HWp - HW, C), f1.dtype)], axis=1)
 
     vols = []
-    for (H_l, _, n_t), lvl in zip(shapes, levels):
-        assert n_t == 1, "volume cache supports narrow streams only"
-        lvl = lvl[:, :, 0]
+    for (H_l, _, n_t, m_t), lvl in zip(shapes, levels):
+        assert n_t == 1 and m_t == 1, \
+            "volume cache supports narrow streams only"
+        lvl = lvl[:, 0, :, 0]
         f2f = lvl.reshape(E, H_l * LANE, C)
         v = jax.lax.dot_general(
             f1, f2f, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -403,7 +423,7 @@ def pallas_corr_extract(vols, shapes, coords, blk=256,
         pl.BlockSpec((LANE, PATCH * LANE), lambda e, b: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    for (H_l, _, _n_t) in shapes:
+    for (H_l, _, _n_t, _m_t) in shapes:
         in_specs.append(pl.BlockSpec(
             (1, blk, H_l, LANE), lambda e, b: (e, b, 0, 0),
             memory_space=pltpu.VMEM))
@@ -458,11 +478,6 @@ def pallas_corr_lookup(fmap1, fmap2, coords, num_levels=4, blk=128,
 
     out_ch = num_levels * TAPS
 
-    # the y two-hot relies on wrapped (negative) rows landing in lanes
-    # that the [:H_l] slice drops; width is handled by x-tiling
-    assert H <= LANE - PATCH, \
-        f"level-0 height {H} exceeds roll-safe lane padding"
-
     in_specs = [
         pl.BlockSpec((1, blk, C), lambda e, b: (e, b, 0),
                      memory_space=pltpu.VMEM),
@@ -471,9 +486,11 @@ def pallas_corr_lookup(fmap1, fmap2, coords, num_levels=4, blk=128,
         pl.BlockSpec((LANE, PATCH * LANE), lambda e, b: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    for (H_l, _, n_t), lvl in zip(shapes, levels):
+    for (H_l, _, n_t, m_t), lvl in zip(shapes, levels):
+        T_H = lvl.shape[2]
         in_specs.append(pl.BlockSpec(
-            (1, H_l, n_t, LANE, C), lambda e, b: (e, 0, 0, 0, 0),
+            (1, m_t, T_H, n_t, LANE, C),
+            lambda e, b: (e, 0, 0, 0, 0, 0),
             memory_space=pltpu.VMEM))
 
     out_dtype = jnp.bfloat16 if packed else jnp.float32

@@ -74,6 +74,15 @@ MAXACC = 24          # greedy-accepted pairs per frame (flag on overflow)
 NEWPAD = 2 * (CI * 2) + 2 * MAXACC   # candidate append list width
 REC_W = 12           # decision-record width
 
+# compact-regime static widths (= the classic host's steady-state
+# buckets; per-frame compute scales with the PADDED widths, so the
+# update phase lax.cond's between this regime and the full-width
+# fallback based on the true counts — see update_branch)
+EB_S = 32            # active edges
+EI_S = 32            # in-window inactive BA extras (compacted)
+PAIRS_S = 512        # same-source edge pairs
+FORCE_LARGE = False  # trace-time override (tests: exercise fallback)
+
 # scal[] layout (int32 device state vector)
 S_COUNTER, S_T1, S_PENDING, S_PROBE_T1, S_D0, S_N, S_INACN, S_FLAGS = \
     range(8)
@@ -468,12 +477,14 @@ def _planner_body(params, mf_params,
         (net_full, target_full, weight_full, raw_full, dy_full,
          flow_full, t_inac, w_inac) = ebufs
         ii_r, jj_r, valid_r = gt["ii"], gt["jj"], gt["valid"]
+        MI = t_inac.shape[0]
 
-        # ---- BA edge set: [inactive ring (window-masked, in place) |
-        # active]; classic compacts the ring selection on the host,
-        # which only permutes f32 reduction order. In-window inactive
-        # counts approach the full ring in steady state, so a tighter
-        # compacted slice is not safe (EI=32 overflowed immediately) ----
+        # ---- regime predicate: compute cost scales with the PADDED
+        # widths, so pick the compact regime (active 32, in-window
+        # inactive compacted to 32, 512 pairs — the classic host
+        # buckets for every conforming stream; probe round 3:
+        # n_edges=20, in-window inactive=10 in steady state) whenever
+        # the true counts fit, else the full-width fallback ----
         big = jnp.int32(1 << 20)
         t0b = jnp.maximum(
             1, jnp.min(jnp.where(valid_r, ii_r, big)) + 1)
@@ -481,119 +492,186 @@ def _planner_body(params, mf_params,
                                 jnp.maximum(ii_r, jj_r), -1)) + 1
         sel = (gt["inac_valid"] & (gt["inac_ii"] >= t0b - 3) &
                (gt["inac_jj"] >= t0b - 3))
-        extra_target = t_inac
-        extra_weight = w_inac
-        ii_ba = jnp.concatenate([gt["inac_ii"], ii_r])
-        jj_ba = jnp.concatenate([gt["inac_jj"], jj_r])
-        valid_ba = jnp.concatenate([sel, valid_r])
-        all_ii = jnp.where(valid_ba, ii_ba, big)
-        w0 = jnp.min(all_ii)
-        kmax = jnp.max(jnp.where(valid_ba, ii_ba, -1))
-        flags = flags | jnp.where(
-            (kmax - w0 + 1 > K) | (t1b - t0b > P), F_WIN_OVF, 0)
-        pa, pb, pv, p_ovf = _build_pairs(ii_ba, valid_ba, PAIRS)
-        flags = flags | jnp.where(p_ovf, F_PAIR_OVF, 0)
+        nsel = jnp.sum(sel.astype(jnp.int32))
+        iiv = jnp.concatenate([jnp.where(sel, gt["inac_ii"], F),
+                               jnp.where(valid_r, ii_r, F)])
+        cnt = jnp.sum((iiv[:, None] ==
+                       jnp.arange(F, dtype=jnp.int32)[None, :])
+                      .astype(jnp.int32), axis=0)          # (F,)
+        pairs_total = jnp.sum(cnt * cnt)
 
-        # ---- fresh-edge initialization (classic _fused_body) ----
-        intr_b = jnp.broadcast_to(intrinsics, (1, F, 4))
-        coords_new, _ = projective.projective_transform(
-            poses[None], disps[None], intr_b, ii_r, jj_r)
-        fm = fresh_mask[:, None, None, None]
-        zero2 = jnp.zeros((EBMAX, h, w, 2), jnp.float32)
-        target_full = target_full.at[:EBMAX].set(
-            jnp.where(fm, coords_new[0], target_full[:EBMAX]))
-        weight_full = weight_full.at[:EBMAX].set(
-            jnp.where(fm, zero2, weight_full[:EBMAX]))
-        raw_full = raw_full.at[:EBMAX].set(
-            jnp.where(fm, zero2, raw_full[:EBMAX]))
-        dy_full = dy_full.at[:EBMAX].set(
-            jnp.where(fm, zero2, dy_full[:EBMAX]))
-        flow_full = flow_full.at[:EBMAX].set(
-            jnp.where(fm, zero2, flow_full[:EBMAX]))
-        net_full = net_full.at[:EBMAX].set(
-            jnp.where(fm, gather_rows(nets_buf, ii_r)
-                      .astype(net_full.dtype), net_full[:EBMAX]))
+        small_ok = ((gt["n"] <= EB_S) & (nsel <= EI_S) &
+                    (pairs_total <= PAIRS_S))
+        if FORCE_LARGE:
+            small_ok = jnp.bool_(False)
 
-        # ---- corr volume cache + hoisted GRU context ----
         if _use_pallas_corr(h, w):
             from pvo_tpu.vo.net.pallas_corr import (corr_level_shapes,
                                                     pallas_build_volumes)
             vshapes = corr_level_shapes(h, w)
-            if all(n_t == 1 for (_, _, n_t) in vshapes):
-                vols = pallas_build_volumes(gather_rows(fmaps, ii_r),
-                                            gather_rows(fmaps, jj_r))
-                corr_vols = (vols, vshapes)
-            else:
-                corr_vols = None
+            vols_ok = all(n_t == 1 and m_t == 1
+                          for (_, _, n_t, m_t) in vshapes)
         else:
-            corr_vols = None
-        if "gru_ctx" in params:
-            cdt = jax.tree.leaves(params["update"])[0].dtype
-            ctx_pre = gru_ctx_pre(params["gru_ctx"],
-                                  gather_rows(inps, ii_r).astype(cdt))
-        else:
-            ctx_pre = None
-        segms_e = gather_rows(segms, ii_r)
+            vols_ok = False
 
-        def one_step(_, carry):
-            (poses, disps, damping, net_full, target_full, weight_full,
-             raw_full, dy_full, flow_full) = carry
-            # late-bound module attr: tests monkeypatch
-            # factor_graph._update_core with an oracle core
-            (net, target, weight, raw, dy, flow, eta,
-             has_edge) = fg._update_core(
-                params, poses, disps, intrinsics, fmaps, inps, segms,
-                net_full[:EBMAX].astype(jnp.float32),
-                target_full[:EBMAX], raw_full[:EBMAX],
-                dy_full[:EBMAX], ii_r, jj_r, valid_r, w0, seg_thresh,
-                update_apply, agg_apply, K, S_MAX, segm_filter,
-                corr_vols=corr_vols, ctx_pre=ctx_pre, segms_e=segms_e)
+        def mk_regime(EBC, EIC, PAIRSC, compact_inac):
+            """The classic update phase at static widths EBC (active
+            edges), EIC (inactive BA extras), PAIRSC (same-source
+            pairs). compact_inac gathers the in-window ring selection
+            into EIC rows (ring order preserved — the classic host
+            compaction); the fallback keeps the ring in place, masked.
+            Both differ from each other only in f32 reduction order."""
 
-            net_full = net_full.at[:EBMAX].set(
-                net.astype(net_full.dtype))
-            target_full = target_full.at[:EBMAX].set(target)
-            weight_full = weight_full.at[:EBMAX].set(weight)
-            raw_full = raw_full.at[:EBMAX].set(raw)
-            dy_full = dy_full.at[:EBMAX].set(dy)
-            flow_full = flow_full.at[:EBMAX].set(flow)
+            def run(ops2):
+                (poses, disps, damping, net_full, target_full,
+                 weight_full, raw_full, dy_full, flow_full) = ops2
+                rflags = jnp.int32(0)
+                ii_e = ii_r[:EBC]
+                jj_e = jj_r[:EBC]
+                valid_e = valid_r[:EBC]
 
-            krows = jnp.clip(w0 + jnp.arange(K), 0, F - 1)
-            dwin = jnp.where(has_edge[:, None, None], eta,
-                             damping[krows])
-            damping = damping.at[krows].set(dwin)
-            eta_k = damp_fac * damping[krows] + EP
+                # fresh-edge initialization (classic _fused_body)
+                intr_b = jnp.broadcast_to(intrinsics, (1, F, 4))
+                coords_new, _ = projective.projective_transform(
+                    poses[None], disps[None], intr_b, ii_e, jj_e)
+                fm = fresh_mask[:EBC, None, None, None]
+                zero2 = jnp.zeros((EBC, h, w, 2), jnp.float32)
+                target_full = target_full.at[:EBC].set(
+                    jnp.where(fm, coords_new[0], target_full[:EBC]))
+                weight_full = weight_full.at[:EBC].set(
+                    jnp.where(fm, zero2, weight_full[:EBC]))
+                raw_full = raw_full.at[:EBC].set(
+                    jnp.where(fm, zero2, raw_full[:EBC]))
+                dy_full = dy_full.at[:EBC].set(
+                    jnp.where(fm, zero2, dy_full[:EBC]))
+                flow_full = flow_full.at[:EBC].set(
+                    jnp.where(fm, zero2, flow_full[:EBC]))
+                net_full = net_full.at[:EBC].set(
+                    jnp.where(fm, gather_rows(nets_buf, ii_e)
+                              .astype(net_full.dtype),
+                              net_full[:EBC]))
 
-            target_all = jnp.concatenate(
-                [extra_target, target_full[:EBMAX]], 0)
-            weight_all = jnp.concatenate(
-                [extra_weight, weight_full[:EBMAX]], 0)
-            poses, disps = dba_mod.dba(
-                poses, disps, intrinsics, target_all, weight_all,
-                eta_k, ii_ba, jj_ba, valid_ba, pa, pb, pv,
-                t0b, t1b, w0, P=P, K=K, iters=iters,
-                motion_only=False, ep=ep, lm=lm)
-            return (poses, disps, damping, net_full, target_full,
-                    weight_full, raw_full, dy_full, flow_full)
+                # inactive BA extras
+                if compact_inac:
+                    rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+                    dsti = jnp.where(sel & (rank < EIC), rank, EIC)
+                    srows = jnp.zeros((EIC,), jnp.int32).at[dsti].set(
+                        jnp.arange(MI, dtype=jnp.int32), mode="drop")
+                    iv = jnp.arange(EIC, dtype=jnp.int32) < nsel
+                    i_ii = jnp.where(iv, gt["inac_ii"][srows], 0)
+                    i_jj = jnp.where(iv, gt["inac_jj"][srows], 0)
+                    extra_target = t_inac[srows]
+                    extra_weight = w_inac[srows]
+                else:
+                    iv = sel
+                    i_ii = gt["inac_ii"]
+                    i_jj = gt["inac_jj"]
+                    extra_target = t_inac
+                    extra_weight = w_inac
 
-        carry = (poses, disps, damping, net_full, target_full,
-                 weight_full, raw_full, dy_full, flow_full)
-        carry = jax.lax.fori_loop(0, steps, one_step, carry)
+                ii_ba = jnp.concatenate([i_ii, ii_e])
+                jj_ba = jnp.concatenate([i_jj, jj_e])
+                valid_ba = jnp.concatenate([iv, valid_e])
+                all_ii = jnp.where(valid_ba, ii_ba, big)
+                w0 = jnp.min(all_ii)
+                kmax = jnp.max(jnp.where(valid_ba, ii_ba, -1))
+                rflags = rflags | jnp.where(
+                    (kmax - w0 + 1 > K) | (t1b - t0b > P),
+                    F_WIN_OVF, 0)
+                pa, pb, pv, p_ovf = _build_pairs(ii_ba, valid_ba,
+                                                 PAIRSC)
+                rflags = rflags | jnp.where(p_ovf, F_PAIR_OVF, 0)
 
-        # removal probe + conditional extra updates (droid_frontend
-        # :52-62 with the branch on device)
-        di = jnp.asarray([t1c - 3], jnp.int32)
-        dj = jnp.asarray([t1c - 2], jnp.int32)
-        d1 = frame_distance(carry[0], carry[1], intrinsics, di, dj,
-                            beta)
-        d2 = frame_distance(carry[0], carry[1], intrinsics, dj, di,
-                            beta)
-        d = 0.5 * (d1 + d2)
-        carry = jax.lax.cond(
-            d[0] >= kf_thresh,
-            lambda c: jax.lax.fori_loop(0, steps2, one_step, c),
-            lambda c: c, carry)
+                # corr volume cache + hoisted GRU context
+                if vols_ok:
+                    vols = pallas_build_volumes(
+                        gather_rows(fmaps, ii_e),
+                        gather_rows(fmaps, jj_e))
+                    corr_vols = (vols, vshapes)
+                else:
+                    corr_vols = None
+                if "gru_ctx" in params:
+                    cdt = jax.tree.leaves(params["update"])[0].dtype
+                    ctx_pre = gru_ctx_pre(
+                        params["gru_ctx"],
+                        gather_rows(inps, ii_e).astype(cdt))
+                else:
+                    ctx_pre = None
+                segms_e = gather_rows(segms, ii_e)
+
+                def one_step(_, carry):
+                    (poses, disps, damping, net_full, target_full,
+                     weight_full, raw_full, dy_full, flow_full) = carry
+                    # late-bound module attr: tests monkeypatch
+                    # factor_graph._update_core with an oracle core
+                    (net, target, weight, raw, dy, flow, eta,
+                     has_edge) = fg._update_core(
+                        params, poses, disps, intrinsics, fmaps, inps,
+                        segms, net_full[:EBC].astype(jnp.float32),
+                        target_full[:EBC], raw_full[:EBC],
+                        dy_full[:EBC], ii_e, jj_e, valid_e, w0,
+                        seg_thresh, update_apply, agg_apply, K, S_MAX,
+                        segm_filter, corr_vols=corr_vols,
+                        ctx_pre=ctx_pre, segms_e=segms_e)
+
+                    net_full = net_full.at[:EBC].set(
+                        net.astype(net_full.dtype))
+                    target_full = target_full.at[:EBC].set(target)
+                    weight_full = weight_full.at[:EBC].set(weight)
+                    raw_full = raw_full.at[:EBC].set(raw)
+                    dy_full = dy_full.at[:EBC].set(dy)
+                    flow_full = flow_full.at[:EBC].set(flow)
+
+                    krows = jnp.clip(w0 + jnp.arange(K), 0, F - 1)
+                    dwin = jnp.where(has_edge[:, None, None], eta,
+                                     damping[krows])
+                    damping = damping.at[krows].set(dwin)
+                    eta_k = damp_fac * damping[krows] + EP
+
+                    target_all = jnp.concatenate(
+                        [extra_target, target_full[:EBC]], 0)
+                    weight_all = jnp.concatenate(
+                        [extra_weight, weight_full[:EBC]], 0)
+                    poses, disps = dba_mod.dba(
+                        poses, disps, intrinsics, target_all,
+                        weight_all, eta_k, ii_ba, jj_ba, valid_ba,
+                        pa, pb, pv, t0b, t1b, w0, P=P, K=K,
+                        iters=iters, motion_only=False, ep=ep, lm=lm)
+                    return (poses, disps, damping, net_full,
+                            target_full, weight_full, raw_full,
+                            dy_full, flow_full)
+
+                carry = (poses, disps, damping, net_full, target_full,
+                         weight_full, raw_full, dy_full, flow_full)
+                carry = jax.lax.fori_loop(0, steps, one_step, carry)
+
+                # removal probe + conditional extra updates
+                # (droid_frontend:52-62 with the branch on device)
+                di = jnp.asarray([t1c - 3], jnp.int32)
+                dj = jnp.asarray([t1c - 2], jnp.int32)
+                d1 = frame_distance(carry[0], carry[1], intrinsics,
+                                    di, dj, beta)
+                d2 = frame_distance(carry[0], carry[1], intrinsics,
+                                    dj, di, beta)
+                d = 0.5 * (d1 + d2)
+                carry = jax.lax.cond(
+                    d[0] >= kf_thresh,
+                    lambda c: jax.lax.fori_loop(0, steps2, one_step,
+                                                c),
+                    lambda c: c, carry)
+                return carry + (d[0], rflags)
+
+            return run
+
+        ops2 = (poses, disps, damping, net_full, target_full,
+                weight_full, raw_full, dy_full, flow_full)
         (poses, disps, damping, net_full, target_full, weight_full,
-         raw_full, dy_full, flow_full) = carry
+         raw_full, dy_full, flow_full, d0_out, rflags) = jax.lax.cond(
+            small_ok,
+            mk_regime(EB_S, EI_S, PAIRS_S, True),
+            mk_regime(EBMAX, MI, PAIRS, False), ops2)
+        flags = flags | rflags
+        d = jnp.asarray([d0_out], jnp.float32)
 
         # next-pose seeding (droid_frontend.py:64-66)
         poses = poses.at[t1c].set(poses[t1c - 1])

@@ -86,8 +86,8 @@ def _kernel(f1_ref, c_ref, r_ref, m_ref, *refs, shapes, blk, merge,
             sels[l] = (bx, ay)
 
     patches = []
-    for l, (H_l, W_l, _nt) in enumerate(shapes):
-        f2 = lvl_refs[l][0, :, 0]
+    for l, (H_l, W_l, _nt, _mt) in enumerate(shapes):
+        f2 = lvl_refs[l][0, 0, :, 0]
         C = f2.shape[-1]
         corr = jax.lax.dot_general(
             f1, f2.reshape(H_l * LANE, C),
@@ -164,9 +164,9 @@ def run(fmap1, fmap2, coords, blk=256, merge="all", store="dymajor",
         pl.BlockSpec((PATCH * PATCH, TAPS), lambda e, b: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    for (H_l, _, _nt), lvl in zip(shapes, levels):
+    for (H_l, _, _nt, _mt), lvl in zip(shapes, levels):
         in_specs.append(pl.BlockSpec(
-            (1, H_l, 1, LANE, C), lambda e, b: (e, 0, 0, 0, 0),
+            (1, 1, H_l, 1, LANE, C), lambda e, b: (e, 0, 0, 0, 0, 0),
             memory_space=pltpu.VMEM))
     dt = jnp.bfloat16 if seldt == "bf16" else jnp.float32
     return pl.pallas_call(

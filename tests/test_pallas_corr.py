@@ -80,17 +80,19 @@ def test_packed_layout_matches_expanded_weights():
 
 
 def test_shape_gate(monkeypatch):
-    """Widths are handled by x-tiling up to a sanity bound; heights
-    beyond the roll-safe lane padding fall back to the XLA path
-    (VERDICT #3)."""
+    """Both axes are handled by tiling up to a sanity bound; beyond
+    that fall back to the XLA path."""
     from pvo_tpu.vo import factor_graph as fg
 
     monkeypatch.setenv("PVO_PALLAS_CORR", "1")
     fg._pallas_backend_ok.cache_clear()
     try:
         assert fg._use_pallas_corr(30, 101)
-        assert fg._use_pallas_corr(30, 121)       # 2 tiles
-        assert not fg._use_pallas_corr(156, 47)   # too tall
+        assert fg._use_pallas_corr(30, 121)       # 2 x-tiles
+        assert fg._use_pallas_corr(156, 47)       # 2 y-tiles
+        assert fg._use_pallas_corr(128, 160)      # 1024-tall video
+        assert not fg._use_pallas_corr(30, 9000)  # beyond 8 tiles
+        assert not fg._use_pallas_corr(9000, 30)
         assert fg._use_pallas_corr()              # shape-agnostic gate
     finally:
         fg._pallas_backend_ok.cache_clear()
@@ -156,7 +158,53 @@ def test_width_gate_allows_tiled_widths(monkeypatch):
     try:
         assert fg._use_pallas_corr(47, 156)   # test_vo2 geometry
         assert fg._use_pallas_corr(30, 500)
-        assert not fg._use_pallas_corr(156, 47)   # too tall
         assert not fg._use_pallas_corr(30, 9000)  # beyond 8 tiles
     finally:
         fg._pallas_backend_ok.cache_clear()
+
+
+def test_tall_stream_y_tiling():
+    """Heights beyond the 120-lane bound are handled by y-tiling
+    (round-2 VERDICT weak #6): parity vs the XLA path at a
+    1024-px-tall geometry (h=128 at 1/8 res) including windows
+    straddling the row-tile boundary at y=112."""
+    Hh, Wt = 128, 40
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(6), 3)
+    f1 = jax.random.normal(k1, (1, Hh, Wt, C), jnp.float32)
+    f2 = jax.random.normal(k2, (1, Hh, Wt, C), jnp.float32)
+    # bias half the coords toward the row-tile boundary (rows 104..120)
+    cy = jnp.concatenate([
+        jax.random.uniform(k3, (1, Hh // 2, Wt), minval=-2.0,
+                           maxval=Hh + 1.0),
+        jax.random.uniform(k3, (1, Hh - Hh // 2, Wt), minval=104.0,
+                           maxval=120.0)], axis=1)
+    cx = jax.random.uniform(k3, (1, Hh, Wt), minval=-1.0,
+                            maxval=Wt + 0.5)
+    coords = jnp.stack([cx, cy], axis=-1)
+
+    ref = corr_ops.lookup(
+        corr_ops.build_pyramid(f1, f2, 4), coords, radius=3)
+    out = pallas_corr_lookup(f1, f2, coords, num_levels=4, blk=32,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tall_and_wide_stream_xy_tiling():
+    """Both axes tiled at once (2x2 tiles)."""
+    Hh, Wt = 128, 130
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    f1 = jax.random.normal(k1, (1, Hh, Wt, C), jnp.float32)
+    f2 = jax.random.normal(k2, (1, Hh, Wt, C), jnp.float32)
+    coords = jnp.stack([
+        jax.random.uniform(k3, (1, Hh, Wt), minval=-2.0,
+                           maxval=Wt + 1.0),
+        jax.random.uniform(k3, (1, Hh, Wt), minval=-2.0,
+                           maxval=Hh + 1.0)], axis=-1)
+
+    ref = corr_ops.lookup(
+        corr_ops.build_pyramid(f1, f2, 4), coords, radius=3)
+    out = pallas_corr_lookup(f1, f2, coords, num_levels=4, blk=32,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -296,11 +296,15 @@ def test_planner_matches_classic_and_converges(monkeypatch):
 def test_planner_keyframe_removal_matches_classic(monkeypatch):
     """kf_thresh high enough that the probe REMOVES keyframes:
     exercises planner phase A (video-buffer shift, edge remap, dmat
-    remap) against the classic deferred-removal path."""
+    remap) against the classic deferred-removal path. Also forces the
+    FULL-WIDTH update regime so the lax.cond fallback (in-place
+    inactive ring, EBMAX/PAIRS widths) gets end-to-end coverage — the
+    companion test runs the compact regime naturally."""
     N, H, W = 18, 64, 96
     h, w = H // 8, W // 8
     gt_poses, gt_disps = _gt_scene(N, h, w)
 
+    monkeypatch.setattr(pl, "FORCE_LARGE", True)
     monkeypatch.setattr(fg, "_update_core",
                         _oracle_core(gt_poses, gt_disps, N))
     fg._fused_step.clear_cache()
