@@ -58,12 +58,16 @@ def test_vo_system_runs_end_to_end():
 
 
 @pytest.mark.slow
-def test_keyframe_removal_paths():
+@pytest.mark.parametrize("pipeline", [False, True])
+def test_keyframe_removal_paths(pipeline):
     """Deferred keyframe removal fires under a high keyframe_thresh,
     combined with both admission outcomes (the speculative-append and
     rejected-frame shift ranges differ): the system must stay
     consistent — counter matches frontend t1, poses finite, graph
-    indices in range."""
+    indices in range. Runs both the classic packet protocol and the
+    planner (device-topology) mode; the latter's host mirrors are
+    reconstructed at disengage, so the internal reads below go through
+    the same sync the public accessors use."""
     import numpy as np
 
     cfg = VOConfig(
@@ -71,7 +75,7 @@ def test_keyframe_removal_paths():
         filter_thresh=0.01,
         keyframe_thresh=1000.0,   # remove (almost) every keyframe
         frontend_window=8, max_edges=96, max_inactive=64,
-        segm_filter=False)
+        segm_filter=False, pipeline=pipeline)
     sysm = VOSystem(cfg)
 
     frames = list(synth_stream(16))
@@ -80,6 +84,11 @@ def test_keyframe_removal_paths():
         # both appended and rejected frames
         sysm.filterx.thresh = 1e9 if (i > 8 and i % 3 == 0) else -1.0
         sysm.track(t, img, intr, segments=segm)
+    sysm._sync()
+    pending = getattr(sysm, "_pending_adm", None)
+    if pending is not None:
+        sysm.filterx.resolve_track(pending)
+        sysm._pending_adm = None
     sysm.frontend.flush()
 
     v = sysm.video
