@@ -68,7 +68,7 @@ class TrajectoryFiller:
                 fnet_params, normalize_images(x)))
         return self._feat(jnp.asarray(images_u8))
 
-    def _fill(self, tstamps, images, intrinsics, filterx):
+    def _fill_submit(self, tstamps, images, intrinsics, filterx):
         v = self.video
         N = v.counter
         M = len(tstamps)
@@ -118,23 +118,53 @@ class TrajectoryFiller:
         graph.update(N, N + B, motion_only=True, steps=6)
         graph.clear_edges()
 
-        out = np.asarray(v.poses[N:N + M])
+        # async pose readback: the slice materializes its own buffer,
+        # so the next batch's (donating) stage program can't touch it;
+        # the d2h streams while that batch runs
+        pose_dev = v.poses[N:N + M]
+        if hasattr(pose_dev, "copy_to_host_async"):
+            pose_dev.copy_to_host_async()
         v.counter = N
-        return out
+        return (pose_dev, M)
+
+    def _resolve(self, handle):
+        pose_dev, M = handle
+        return np.asarray(pose_dev)
+
+    def _fill(self, tstamps, images, intrinsics, filterx):
+        return self._resolve(
+            self._fill_submit(tstamps, images, intrinsics, filterx))
 
     def __call__(self, image_stream, filterx):
         """image_stream yields (tstamp, image(H,W,3 RGB u8),
-        intrinsics, segments). Returns (T, 7) poses for every frame."""
+        intrinsics, segments). Returns (T, 7) poses for every frame.
+
+        Batches are PIPELINED one deep: batch k's blocking pose read
+        happens after batch k+1's programs are dispatched, so host
+        prep + the ~9 MB image upload of each batch ride the previous
+        batch's device time (terminate at 100 keyframes spends ~2/3 of
+        the filler wall on this serialization otherwise)."""
         pose_list = []
+        pending = None
         ts, ims, intr = [], [], []
+
+        def flush(ts, ims, intr):
+            nonlocal pending
+            handle = self._fill_submit(ts, ims, intr, filterx)
+            if pending is not None:
+                pose_list.append(self._resolve(pending))
+            pending = handle
+
         for item in image_stream:
             tstamp, image, intrinsics = item[0], item[1], item[2]
             ts.append(tstamp)
             ims.append(image)
             intr.append(intrinsics)
             if len(ts) == self.batch:
-                pose_list.append(self._fill(ts, ims, intr, filterx))
+                flush(ts, ims, intr)
                 ts, ims, intr = [], [], []
         if ts:
-            pose_list.append(self._fill(ts, ims, intr, filterx))
+            flush(ts, ims, intr)
+        if pending is not None:
+            pose_list.append(self._resolve(pending))
         return np.concatenate(pose_list, axis=0)

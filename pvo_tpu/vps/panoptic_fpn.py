@@ -355,6 +355,12 @@ class PanopticPredictor:
                                     method=_run_m)
 
         self._apply = _jit(_run)
+        # jitted warp/reproject: eagerly these are ~40 op-by-op
+        # dispatches per fusion frame (~2 ms relay overhead each —
+        # the entire 7.3 -> 4.6 fps fusion gap, BENCH_VPS round 3)
+        self._warp = _jit(flow_warp_features,
+                          static_argnames=("bitcompat",))
+        self._pose_depth = _jit(pose_transport_depth)
         self._video_id = None
         self._prev = None  # (feats, image)
         self._prev_pose = None
@@ -401,11 +407,11 @@ class PanopticPredictor:
             if (d is not None and self.depth_proj and
                     pose_w2c is not None and
                     self._prev_pose is not None):
-                d = pose_transport_depth(
+                d = self._pose_depth(
                     d, jnp.asarray(self._prev_pose, jnp.float32),
                     jnp.asarray(pose_w2c, jnp.float32),
                     self.intrinsics)
-            warped = flow_warp_features(
+            warped = self._warp(
                 feats_ref, jnp.asarray(flow, jnp.float32), d,
                 bitcompat=self.bitcompat_flow)
             sem_dev, dets, feats_cur = self._apply(self.params, x,

@@ -35,8 +35,12 @@ def run_once(n_kf, H=240, W=808):
     from pvo_tpu.vo.system import VOSystem
 
     # +24: the trajectory filler stages 16-frame batches past the
-    # keyframe rows
-    cfg = VOConfig(image_size=(H, W), buffer=max(n_kf + 24, 64),
+    # keyframe rows; power-of-two buffer reuses the bench/profile
+    # compiled-program family instead of a one-off recompile
+    buf = 64
+    while buf < n_kf + 24:
+        buf *= 2
+    cfg = VOConfig(image_size=(H, W), buffer=buf,
                    filter_thresh=0.01, keyframe_thresh=0.0,
                    warmup=12, segm_filter=True)
     sysm = VOSystem(cfg)

@@ -1,0 +1,92 @@
+"""Steady-state VPS full-model train-step economics on chip
+(round-2 VERDICT weak #7: init/compile were measured, steps/s never).
+
+Runs the jitted full train step (R-50 Panoptic FPN: RPN + box + mask +
+semseg losses, Adam-free reference solver) on ONE synthetic sample at
+the padded vkitti eval geometry (384x1248 — 375x1242 padded to the FPN
+stride), batch size 1, and reports warm steps/s.
+
+Prints one JSON line {"metric": "vps_train_steps_per_sec", ...}.
+"""
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.abspath(".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    import jax.numpy as jnp
+
+    from pvo_tpu.vps import train as T
+    from pvo_tpu.vps.panoptic_fpn import PanopticFPN
+
+    H, W = 384, 1248
+    key = jax.random.PRNGKey(0)
+    model = PanopticFPN()
+
+    masks = np.zeros((8, H, W), np.float32)
+    masks[0, 40:200, 40:200] = 1.0
+    masks[1, 60:240, 100:300] = 1.0
+    boxes = np.tile(np.array([0., 0., 1., 1.], np.float32), (8, 1))
+    boxes[0] = [40., 40., 200., 200.]
+    boxes[1] = [100., 60., 300., 240.]
+    valid = np.zeros(8, bool)
+    valid[:2] = True
+    batch = {
+        "image": jax.random.normal(key, (1, H, W, 3)) * 20 + 90,
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_classes": jnp.asarray([1, 2, 0, 0, 0, 0, 0, 0]),
+        "gt_valid": jnp.asarray(valid),
+        "sem_labels": jnp.ones((1, H, W), jnp.int32) * 3,
+        "gt_masks": jnp.asarray(masks),
+    }
+
+    t0 = time.perf_counter()
+    params = model.init(key, batch["image"])
+    jax.block_until_ready(params)
+    t_init = time.perf_counter() - t0
+
+    tx = T.make_solver(base_lr=2.5e-4)
+    state = T.TrainState(params, tx.init(params),
+                         jnp.zeros((), jnp.int32))
+    step = T.make_full_train_step(model, tx)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch)
+    jax.block_until_ready(state.params)
+    t_compile = time.perf_counter() - t0
+
+    n = 8
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(state.params)
+    per = (time.perf_counter() - t0) / n
+
+    loss = float(metrics["sem_seg"])
+    assert np.isfinite(loss), loss
+    print(json.dumps({
+        "metric": "vps_train_steps_per_sec",
+        "value": round(1.0 / per, 3),
+        "unit": "steps/s @384x1248 bs1 full model (%.0f ms/step; "
+                "init %.0f s, compile+1st %.0f s)" % (
+                    per * 1e3, t_init, t_compile),
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

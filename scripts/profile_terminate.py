@@ -45,7 +45,12 @@ def run(n_kf, H=240, W=808):
     from pvo_tpu.utils.config import VOConfig
     from pvo_tpu.vo.system import VOSystem
 
-    cfg = VOConfig(image_size=(H, W), buffer=max(n_kf + 24, 64),
+    # power-of-two buffer: reuses the bench-shape compiled programs
+    # instead of paying a one-off recompile for an odd buffer size
+    buf = 64
+    while buf < n_kf + 24:
+        buf *= 2
+    cfg = VOConfig(image_size=(H, W), buffer=buf,
                    filter_thresh=0.01, keyframe_thresh=0.0,
                    warmup=12, segm_filter=True)
     sysm = VOSystem(cfg)
@@ -55,6 +60,7 @@ def run(n_kf, H=240, W=808):
 
     tm = T()
     t0 = time.monotonic()
+    sysm._sync()          # leave planner mode (blocking readback)
     pending = getattr(sysm, "_pending_adm", None)
     if pending is not None:
         sysm.filterx.resolve_track(pending)
