@@ -51,6 +51,7 @@ re-siting of that host logic, not a port.
 from __future__ import annotations
 
 import functools
+import logging
 
 import numpy as np
 
@@ -88,12 +89,28 @@ S_COUNTER, S_T1, S_PENDING, S_PROBE_T1, S_D0, S_N, S_INACN, S_FLAGS = \
     range(8)
 SCAL_W = 8
 
-# sticky error flags
+# sticky error flags — any of these means the device program had to
+# deviate from the classic host decision (dropped candidates, truncated
+# buckets). The driver responds by DISENGAGING to the classic path (the
+# state is self-consistent, only the decisions differ), not by dying.
 F_PROX_OVF = 1       # greedy NMS hit MAXACC with candidates left
 F_PAIR_OVF = 2       # edge-pair count exceeded the PAIRS bucket
 F_WIN_OVF = 4        # BA pose/depth window exceeded P/K
 F_EMPTY = 8          # edge set empty after proposal
 F_GRID_OVF = 16      # proposal candidate ranges exceeded CI/CJ
+F_EDGE_OVF = 32      # fresh-edge append exceeded the EBMAX bucket
+
+_FLAG_NAMES = {F_PROX_OVF: "PROX_OVF", F_PAIR_OVF: "PAIR_OVF",
+               F_WIN_OVF: "WIN_OVF", F_EMPTY: "EMPTY",
+               F_GRID_OVF: "GRID_OVF", F_EDGE_OVF: "EDGE_OVF"}
+
+
+def flag_names(flags):
+    return "|".join(n for b, n in _FLAG_NAMES.items() if flags & b) \
+        or "none"
+
+
+log = logging.getLogger("pvo_tpu.planner")
 
 # record[] layout
 R_ADM, R_RAN, R_REMOVED, R_RMIX, R_COUNTER, R_T1, R_N, R_INACN, \
@@ -307,6 +324,31 @@ def _build_pairs(ii_all, valid_all, PAIRS):
     return pa, pb, pv, total > PAIRS
 
 
+def _append_edges(gt, new_ii, new_jj, n_new, EBMAX):
+    """Append fresh edges at rows [n, n + n_new). Cap eviction only
+    guarantees n + n_new <= max_factors when n_new <= max_factors, but
+    n_new can reach NEWPAD (neighborhood prefix + 2*MAXACC accepted
+    pairs) — the classic host just appends them all (its bucket is
+    max_edges, not max_factors). Rows beyond EBMAX are dropped and the
+    count CLAMPED so the valid-mask invariant (valid == idx < n) holds,
+    with F_EDGE_OVF raised so the driver disengages to the classic
+    path. Returns (gt, fresh_mask, flags)."""
+    idx = jnp.arange(EBMAX, dtype=jnp.int32)
+    n0 = gt["n"]
+    NC = new_ii.shape[0]
+    rows = n0 + jnp.arange(NC, dtype=jnp.int32)
+    dst = jnp.where(jnp.arange(NC) < n_new, rows, EBMAX)
+    gt["ii"] = gt["ii"].at[dst].set(new_ii, mode="drop")
+    gt["jj"] = gt["jj"].at[dst].set(new_jj, mode="drop")
+    gt["age"] = gt["age"].at[dst].set(0, mode="drop")
+    n_tot = n0 + n_new
+    flags = jnp.where(n_tot > EBMAX, F_EDGE_OVF, 0).astype(jnp.int32)
+    gt["n"] = jnp.minimum(n_tot, EBMAX)
+    gt["valid"] = idx < gt["n"]
+    fresh_mask = (idx >= n0) & (idx < gt["n"])
+    return gt, fresh_mask, flags
+
+
 def _shift_window_rows(buf, ix, end, W4=4):
     """Remove-keyframe shift: rows [ix, end) <- rows [ix+1, end]
     (host remove_frame loop, video.py:156-163), static window W4."""
@@ -462,16 +504,12 @@ def _planner_body(params, mf_params,
         drop_cap = need & (srt >= max_factors - n_new) & gt["valid"]
         gt, ebufs = _retire_edges(gt, ebufs, drop_cap, store=True)
 
-        # append the fresh edges at rows [n2, n2 + n_new)
-        n2 = gt["n"]
-        rows = n2 + jnp.arange(NEWPAD, dtype=jnp.int32)
-        dst = jnp.where(jnp.arange(NEWPAD) < n_new, rows, EBMAX)
-        gt["ii"] = gt["ii"].at[dst].set(new_ii, mode="drop")
-        gt["jj"] = gt["jj"].at[dst].set(new_jj, mode="drop")
-        gt["age"] = gt["age"].at[dst].set(0, mode="drop")
-        gt["n"] = n2 + n_new
-        gt["valid"] = idx < gt["n"]
-        fresh_mask = (idx >= n2) & (idx < gt["n"])
+        # append the fresh edges at rows [n2, n2 + n_new) — clamped to
+        # the bucket with F_EDGE_OVF on overflow (see _append_edges)
+        idx = jnp.arange(EBMAX, dtype=jnp.int32)
+        gt, fresh_mask, aflags = _append_edges(gt, new_ii, new_jj,
+                                               n_new, EBMAX)
+        flags = flags | aflags
         flags = flags | jnp.where(gt["n"] == 0, F_EMPTY, 0)
 
         (net_full, target_full, weight_full, raw_full, dy_full,
@@ -771,28 +809,67 @@ class PlannerDriver:
     """
 
     EBMAX = 48     # = reference frontend max_factors
+    RETRY_COOLDOWN = 30   # frames between engage attempts after a miss
 
     def __init__(self, system):
         self.sys = system
         self.engaged = False
         self.n_removed = 0        # keyframe removals seen in records
+        self.overflow = 0         # sticky flags seen this engagement
+        self.n_overflows = 0      # lifetime overflow disengagements
+        self.cooldown = 0         # frames before the next engage try
         self._records = []        # [(record_dev, tstamp, resolved)]
         self._host_counter = 0    # mirror for tstamp bookkeeping
         self._scal = None
         self._dvec = None
         self._dmat = None
         self._gtop = None         # (ii, jj, age, valid, iii, ijj, iv)
+        self._last_refusal = None
 
     # ---------------- engagement ----------------
 
-    def can_engage(self):
+    def _blockers(self):
+        """Host-mirror-only engagement blockers (NO device sync).
+        Returns a list of failing precondition names."""
         fe = self.sys.frontend
         g = fe.graph
-        return (fe.is_initialized and fe._dmat is not None and
-                fe._packet is None and g.n_edges > 0 and
-                len(g.ii_bad) == 0 and
-                g.n_edges <= self.EBMAX and
-                len(g.ii_inac) <= g.max_inactive)
+        out = []
+        if not fe.is_initialized:
+            out.append("not_initialized")
+        if g.n_edges == 0:
+            out.append("no_edges")
+        if len(g.ii_bad) > 0:
+            out.append(f"bad_edges={len(g.ii_bad)}")
+        if g.n_edges > self.EBMAX:
+            out.append(f"n_edges={g.n_edges}>{self.EBMAX}")
+        if len(g.ii_inac) > g.max_inactive:
+            out.append(f"inactive={len(g.ii_inac)}>{g.max_inactive}")
+        return out
+
+    def precheck(self):
+        """Cheap per-frame gate for the engage retry: consult only the
+        host mirrors, pay the blocking resolve ONLY when they pass.
+        A persistently-blocked stream thus keeps the classic one-frame-
+        lag pipelining instead of a blocking resolve every frame; a
+        failed attempt backs off RETRY_COOLDOWN frames (the blockers
+        only change at keyframe cadence)."""
+        if self.cooldown > 0:
+            self.cooldown -= 1
+            return False
+        blockers = self._blockers()
+        if blockers:
+            if blockers != self._last_refusal:
+                log.info("planner engage refused: %s",
+                         ", ".join(blockers))
+                self._last_refusal = blockers
+            self.cooldown = self.RETRY_COOLDOWN
+            return False
+        return True
+
+    def can_engage(self):
+        fe = self.sys.frontend
+        return (not self._blockers() and fe._dmat is not None and
+                fe._packet is None)
 
     def engage(self):
         """Blocking one-time sync: flush classic state, upload the
@@ -830,7 +907,11 @@ class PlannerDriver:
             np.asarray(fe._dmat, np.float32))
         self._host_counter = v.counter
         self._records = []
+        self.overflow = 0
+        self._last_refusal = None
         self.engaged = True
+        log.info("planner engaged at frame %d (n_edges=%d, "
+                 "inactive=%d)", v.counter, n, ni)
 
     # ---------------- per-frame ----------------
 
@@ -883,16 +964,27 @@ class PlannerDriver:
         # the frames in between ran on device, so these reads are free
         while len(self._records) > 2:
             self._resolve_one()
+        # a sticky overflow flag means the device program deviated from
+        # the classic decision (truncated bucket). The state is still
+        # self-consistent — degrade to the classic host path (which has
+        # no static bounds) instead of dying, and back off re-engaging.
+        if self.overflow:
+            self.n_overflows += 1
+            self.cooldown = self.RETRY_COOLDOWN * min(
+                2 ** self.n_overflows, 32)
+            log.warning(
+                "planner overflow (%s) at frame %d: disengaging to "
+                "the classic path; re-engage after %d frames",
+                flag_names(self.overflow), self._host_counter,
+                self.cooldown)
+            self.disengage()
 
     def _resolve_one(self):
         rec_dev, ts, _ = self._records.pop(0)
         rec = np.asarray(rec_dev)
         v = self.sys.video
-        if rec[R_FLAGS]:
-            raise RuntimeError(
-                f"planner overflow flags={int(rec[R_FLAGS])}: "
-                "stream exceeded the device-topology static bounds; "
-                "re-run with cfg.pipeline=False")
+        if rec[R_FLAGS] and not self.overflow:
+            self.overflow = int(rec[R_FLAGS])
         # order matters and matches the device program: the removal
         # (from the previous frame's probe) lands BEFORE this frame's
         # admission
@@ -923,9 +1015,11 @@ class PlannerDriver:
         while self._records:
             self._resolve_one()
         scal = np.asarray(self._scal)
-        if scal[S_FLAGS]:
-            raise RuntimeError(
-                f"planner overflow flags={int(scal[S_FLAGS])}")
+        # scal flags are tolerated: the device state is self-consistent
+        # even after a bucket truncation; the classic host path picks
+        # the stream up from it (decisions differ from a pure-classic
+        # run beyond this point, which the reference never promised
+        # about its own float scheduling either)
         ii, jj, age, valid, iii, ijj, iv = \
             (np.asarray(x) for x in self._gtop)
         n = int(scal[S_N])
@@ -957,3 +1051,5 @@ class PlannerDriver:
             fe._packet = None
             fe._dmat = dmat_np
         self.engaged = False
+        log.info("planner disengaged at frame %d (flags=%s)",
+                 v.counter, flag_names(int(scal[S_FLAGS])))

@@ -202,13 +202,21 @@ class VOSystem:
                 self._pending_adm = fx.track_async(
                     tstamp, image, intrinsics, segments, prep=prep)
             # switch the steady state to the device-resident topology
-            # loop: one blocking sync here, then zero per-frame syncs
-            if self.cfg.pipeline and not self.planner.engaged:
+            # loop: one blocking sync here, then zero per-frame syncs.
+            # precheck() consults only host mirrors — a persistently
+            # blocked stream keeps the classic one-frame-lag pipeline
+            # instead of paying a blocking resolve every frame, and
+            # retries on a cooldown (vo/planner.py precheck).
+            if self.cfg.pipeline and not self.planner.engaged and \
+                    self.planner.precheck():
                 self.filterx.resolve_track(self._pending_adm)
                 self._pending_adm = None
                 fe.resolve()
                 if self.planner.can_engage():
                     self.planner.engage()
+                else:
+                    self.planner.cooldown = \
+                        self.planner.RETRY_COOLDOWN
         else:
             self._pending_adm = fx.track_async(
                 tstamp, image, intrinsics, segments)

@@ -308,11 +308,14 @@ class PanopticPredictor:
         self.image_hw = image_hw
         self.max_dets = max_dets
         if params is None:
-            # init at the stride-32-padded shape (see __call__)
+            # init at the stride-32-padded shape (see __call__).
+            # jitted: eager init executes the whole dense path op by op
+            # (~95 s on CPU for even a tiny backbone vs ~10 s compiled)
             hw_pad = (image_hw[0] + (-image_hw[0]) % 32,
                       image_hw[1] + (-image_hw[1]) % 32)
             dummy = jnp.zeros((1,) + hw_pad + (3,), jnp.float32)
-            params = self.model.init(jax.random.PRNGKey(seed), dummy)
+            params = jax.jit(self.model.init)(
+                jax.random.PRNGKey(seed), dummy)
         self.params = params
         _jit = (lambda f, **kw: f) if eager else jax.jit
 
@@ -343,24 +346,37 @@ class PanopticPredictor:
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, dets)
             return sem, dets, feats
 
-        def _run(p, x_u8, feats_warp=None):
+        def _run(p, x_u8, feats_ref=None, flow=None, depth=None,
+                 pose_ref=None, pose_cur=None, intr=None,
+                 bitcompat=False, depth_proj=False):
+            """ONE device program per frame: optional pose-depth
+            reproject + flow warp + fuse + backbone + heads. Round 3
+            dispatched the warp and pose-depth as separate jitted
+            programs (panoptic_fpn.py:361-367 then) — each paid relay
+            dispatch overhead and XLA could not overlap the warp's
+            scatters with the backbone (the fusion path ran at 4.6 fps
+            vs 7.3 plain, BENCH_VPS round 3)."""
             if bf16:
                 p = jax.tree.map(
                     lambda a: a.astype(jnp.bfloat16)
                     if jnp.issubdtype(a.dtype, jnp.floating) else a, p)
-                if feats_warp is not None:
+            feats_warp = None
+            if feats_ref is not None:
+                fl = flow.astype(jnp.float32)
+                d = depth
+                if d is not None and depth_proj:
+                    d = pose_transport_depth(d, pose_ref, pose_cur,
+                                             intr)
+                feats_warp = flow_warp_features(
+                    feats_ref, fl, d, bitcompat=bitcompat)
+                if bf16:
                     feats_warp = jax.tree.map(
                         lambda a: a.astype(jnp.bfloat16), feats_warp)
             return self.model.apply(p, x_u8, feats_warp,
                                     method=_run_m)
 
-        self._apply = _jit(_run)
-        # jitted warp/reproject: eagerly these are ~40 op-by-op
-        # dispatches per fusion frame (~2 ms relay overhead each —
-        # the entire 7.3 -> 4.6 fps fusion gap, BENCH_VPS round 3)
-        self._warp = _jit(flow_warp_features,
-                          static_argnames=("bitcompat",))
-        self._pose_depth = _jit(pose_transport_depth)
+        self._apply = _jit(_run,
+                           static_argnames=("bitcompat", "depth_proj"))
         self._video_id = None
         self._prev = None  # (feats, image)
         self._prev_pose = None
@@ -404,18 +420,25 @@ class PanopticPredictor:
             feats_ref = self._prev
             d = None if depth is None else jnp.asarray(
                 depth, jnp.float32)
-            if (d is not None and self.depth_proj and
-                    pose_w2c is not None and
-                    self._prev_pose is not None):
-                d = self._pose_depth(
-                    d, jnp.asarray(self._prev_pose, jnp.float32),
-                    jnp.asarray(pose_w2c, jnp.float32),
-                    self.intrinsics)
-            warped = self._warp(
-                feats_ref, jnp.asarray(flow, jnp.float32), d,
-                bitcompat=self.bitcompat_flow)
-            sem_dev, dets, feats_cur = self._apply(self.params, x,
-                                                   warped)
+            depth_proj = (d is not None and self.depth_proj and
+                          pose_w2c is not None and
+                          self._prev_pose is not None)
+            # ship the flow as f16: it is truncated to integer pixel
+            # offsets on device anyway, and the f32 payload (3.7 MB at
+            # vkitti res) costs ~80 ms through the ~45 MB/s relay —
+            # the round-3 fusion-vs-plain gap almost exactly. bitcompat
+            # replay keeps f32 (the uint16 C-cast must see the exact
+            # reference values).
+            fdt = np.float32 if self.bitcompat_flow else np.float16
+            fl = jnp.asarray(np.asarray(flow, fdt))
+            sem_dev, dets, feats_cur = self._apply(
+                self.params, x, feats_ref, fl, d,
+                jnp.asarray(self._prev_pose, jnp.float32)
+                if depth_proj else None,
+                jnp.asarray(pose_w2c, jnp.float32)
+                if depth_proj else None,
+                self.intrinsics if depth_proj else None,
+                bitcompat=self.bitcompat_flow, depth_proj=depth_proj)
         else:
             sem_dev, dets, feats_cur = self._apply(self.params, x)
 
@@ -432,7 +455,13 @@ class PanopticPredictor:
 
     def result(self, pending):
         """Resolve a :meth:`submit` handle: blocking d2h + host
-        panoptic stitch. Returns (pan, segments_info, sem, dets)."""
+        panoptic stitch. Returns (pan, segments_info, sem, dets).
+
+        ``sem`` is a (H, W) **uint8** map of contiguous semantic class
+        ids (the class count is far below 256; int32 would quadruple
+        the dominant per-frame d2h payload through the relay). Callers
+        doing signed arithmetic or negative-sentinel masking on it
+        should cast to int32 themselves."""
         sem_dev, dets, (H0, W0) = pending
         sem = np.asarray(sem_dev)[:H0, :W0]
         dets_np = {k: np.asarray(v) for k, v in dets.items()}
@@ -444,7 +473,8 @@ class PanopticPredictor:
                  pose_w2c=None):
         """image_bgr: (H, W, 3) float/uint8 BGR. pose_w2c: optional
         (4, 4) world-to-camera extrinsic for the depth_proj path.
-        Returns (panoptic (H, W) int32, segments_info, sem_seg, dets).
+        Returns (panoptic (H, W) int32, segments_info, sem_seg, dets);
+        ``sem_seg`` is uint8 class ids (see :meth:`result`).
 
         Inputs whose H/W are not multiples of the FPN's largest
         stride (32) are zero-padded bottom/right like detectron2's

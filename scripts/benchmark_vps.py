@@ -1,9 +1,13 @@
 """VPS throughput benchmark (reference tools/benchmark.py analog):
 measures Panoptic FPN inference frames/sec at the vkitti eval geometry
-(375x1242) — plain, fusion, and bf16 modes — and prints ONE
-BENCH-style JSON line. vs_baseline normalizes against the ~10 fps
-GPU-class PanopticFPN R-50 envelope of the reference's 11 GB-GPU
-operating point (README.md:64).
+(375x1242) and prints ONE BENCH-style JSON line. vs_baseline
+normalizes against the ~10 fps GPU-class PanopticFPN R-50 envelope of
+the reference's 11 GB-GPU operating point (README.md:64).
+
+The headline mode is bfloat16 (gated by tests/test_vps_model.py's
+bf16-vs-f32 parity test); fusion is measured in the SAME mode since
+fusion is what the PVO pipeline actually runs. f32 numbers are quoted
+alongside.
 """
 
 import os.path as _osp
@@ -19,19 +23,20 @@ import time
 import numpy as np
 
 
-def _measure(predictor, imgs, flow, frames, fusion):
+def _measure(predictor, imgs, flow, frames, fusion, depth=None):
     """Pipelined video protocol: one frame in flight (submit t+1
     before resolving t), so the ~90 ms of relay h2d/d2h per frame
     overlaps the next frame's device program."""
     predictor._video_id = None
     predictor(imgs[0], video_id="bench")
     if fusion:
-        predictor(imgs[1], video_id="bench", flow=flow)
+        predictor(imgs[1], video_id="bench", flow=flow, depth=depth)
     t0 = time.perf_counter()
     pend = None
     for k in range(2, 2 + frames):
         nxt = predictor.submit(imgs[k], video_id="bench",
-                               flow=flow if fusion else None)
+                               flow=flow if fusion else None,
+                               depth=depth if fusion else None)
         if pend is not None:
             predictor.result(pend)
         pend = nxt
@@ -44,7 +49,7 @@ def main():
     p.add_argument("--height", type=int, default=375)
     p.add_argument("--width", type=int, default=1242)
     p.add_argument("--frames", type=int, default=20)
-    p.add_argument("--skip-bf16", action="store_true")
+    p.add_argument("--skip-f32", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -60,26 +65,36 @@ def main():
     imgs = [rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
             for _ in range(args.frames + 3)]
     flow = (rng.randn(H, W, 2) * 2).astype(np.float32)
+    depth = (rng.rand(H, W) * 20 + 1).astype(np.float32)
 
-    predictor = PanopticPredictor(image_hw=(H, W))
-    plain = _measure(predictor, imgs, flow, args.frames, fusion=False)
-    fused = _measure(predictor, imgs, flow, args.frames, fusion=True)
+    pred16 = PanopticPredictor(image_hw=(H, W), bf16=True)
+    plain16 = _measure(pred16, imgs, flow, args.frames, fusion=False)
+    fused16 = _measure(pred16, imgs, flow, args.frames, fusion=True)
+    fused16d = _measure(pred16, imgs, flow, args.frames, fusion=True,
+                        depth=depth)
 
-    bf16 = None
-    if not args.skip_bf16:
-        pred16 = PanopticPredictor(params=predictor.params,
-                                   image_hw=(H, W), bf16=True)
-        bf16 = _measure(pred16, imgs, flow, args.frames, fusion=False)
+    plain32 = fused32 = None
+    if not args.skip_f32:
+        pred32 = PanopticPredictor(params=pred16.params,
+                                   image_hw=(H, W))
+        plain32 = _measure(pred32, imgs, flow, args.frames,
+                           fusion=False)
+        fused32 = _measure(pred32, imgs, flow, args.frames,
+                           fusion=True)
 
     out = {
         "metric": "vps_frames_per_sec",
-        "value": round(plain, 3),
-        "unit": f"frames/s @{H}x{W} plain f32 (fusion "
-                f"{round(fused, 2)}, bf16 "
-                f"{round(bf16, 2) if bf16 else 'n/a'})",
-        "vs_baseline": round(plain / 10.0, 3),
-        "fusion_fps": round(fused, 3),
-        "bf16_fps": round(bf16, 3) if bf16 else None,
+        "value": round(plain16, 3),
+        "unit": f"frames/s @{H}x{W} bf16 (fusion "
+                f"{round(fused16, 2)}, fusion+depth "
+                f"{round(fused16d, 2)}; f32 plain "
+                f"{round(plain32, 2) if plain32 else 'n/a'}, f32 "
+                f"fusion {round(fused32, 2) if fused32 else 'n/a'})",
+        "vs_baseline": round(plain16 / 10.0, 3),
+        "fusion_fps": round(fused16, 3),
+        "fusion_depth_fps": round(fused16d, 3),
+        "f32_fps": round(plain32, 3) if plain32 else None,
+        "f32_fusion_fps": round(fused32, 3) if fused32 else None,
     }
     print(json.dumps(out))
     with open("BENCH_VPS.json", "w") as f:

@@ -159,6 +159,63 @@ def test_device_proximity_matches_host():
     assert len(got) > 4              # exercised the greedy loop
 
 
+def test_append_edges_overflow_clamps_and_flags():
+    """Fresh-edge append beyond the EBMAX bucket must clamp the count
+    (valid == idx < n invariant) and raise F_EDGE_OVF, not silently
+    corrupt (round-3 advisor finding)."""
+    E = 8
+    gt = {"ii": jnp.zeros(E, jnp.int32), "jj": jnp.zeros(E, jnp.int32),
+          "age": jnp.zeros(E, jnp.int32), "valid": jnp.arange(E) < 6,
+          "n": jnp.int32(6)}
+    new_ii = jnp.arange(10, 10 + 12, dtype=jnp.int32)
+    new_jj = jnp.arange(20, 20 + 12, dtype=jnp.int32)
+    gt2, fresh, flags = jax.jit(pl._append_edges,
+                                static_argnames=("EBMAX",))(
+        dict(gt), new_ii, new_jj, jnp.int32(5), EBMAX=E)
+    assert int(gt2["n"]) == E
+    assert int(flags) == pl.F_EDGE_OVF
+    np.testing.assert_array_equal(np.asarray(gt2["valid"]),
+                                  np.ones(E, bool))
+    # the rows that fit carry the fresh prefix
+    np.testing.assert_array_equal(np.asarray(gt2["ii"])[6:], [10, 11])
+    np.testing.assert_array_equal(np.asarray(fresh),
+                                  np.arange(E) >= 6)
+    # non-overflowing append keeps flags clear
+    gt3, _, flags3 = jax.jit(pl._append_edges,
+                             static_argnames=("EBMAX",))(
+        dict(gt), new_ii, new_jj, jnp.int32(2), EBMAX=E)
+    assert int(flags3) == 0 and int(gt3["n"]) == 8
+
+
+def test_precheck_cooldown_and_refusal_logging(caplog):
+    """precheck consults only host mirrors, backs off RETRY_COOLDOWN
+    frames after a refusal, and logs the failing blocker once."""
+    import logging
+    import types
+
+    g = types.SimpleNamespace(n_edges=60, ii_bad=np.zeros(0),
+                              ii_inac=np.zeros(0), max_inactive=96)
+    fe = types.SimpleNamespace(is_initialized=True, graph=g,
+                               _dmat=None, _packet=None)
+    sysm = types.SimpleNamespace(frontend=fe)
+    drv = pl.PlannerDriver.__new__(pl.PlannerDriver)
+    drv.__init__(sysm)
+
+    with caplog.at_level(logging.INFO, logger="pvo_tpu.planner"):
+        assert not drv.precheck()          # n_edges=60 > 48
+    assert any("n_edges=60" in r.message for r in caplog.records)
+    n_msgs = len(caplog.records)
+    # cooldown: the next RETRY_COOLDOWN calls return False cheaply
+    # without re-logging
+    with caplog.at_level(logging.INFO, logger="pvo_tpu.planner"):
+        for _ in range(drv.RETRY_COOLDOWN):
+            assert not drv.precheck()
+    assert len(caplog.records) == n_msgs
+    # blocker cleared -> precheck passes after the cooldown
+    g.n_edges = 20
+    assert drv.precheck()
+
+
 # ---------------------------------------------------------------------
 # 2./3. end-to-end equivalence + convergence (oracle update core)
 # ---------------------------------------------------------------------
@@ -324,6 +381,42 @@ def test_planner_keyframe_removal_matches_classic(monkeypatch):
                                       classic["tstamp"])
         dt = np.abs(plan["traj"] - classic["traj"]).max()
         assert dt < 1e-3, dt
+    finally:
+        fg._fused_step.clear_cache()
+        fg._fused_step_mf.clear_cache()
+        pl._planner_step.clear_cache()
+
+
+@pytest.mark.slow
+def test_planner_overflow_degrades_to_classic(monkeypatch):
+    """Engineer a device-side overflow (MAXACC=1 saturates the greedy
+    proximity accept after one pair -> F_PROX_OVF) and assert the
+    stream COMPLETES via graceful disengagement to the classic path —
+    the round-3 behavior was a RuntimeError two frames after the fact.
+    The re-engage cooldown must also hold for the rest of the stream."""
+    N, H, W = 18, 64, 96
+    h, w = H // 8, W // 8
+    gt_poses, gt_disps = _gt_scene(N, h, w)
+
+    monkeypatch.setattr(pl, "MAXACC", 1)
+    monkeypatch.setattr(fg, "_update_core",
+                        _oracle_core(gt_poses, gt_disps, N))
+    fg._fused_step.clear_cache()
+    fg._fused_step_mf.clear_cache()
+    pl._planner_step.clear_cache()
+    try:
+        plan = _run_mode(True, N, H, W, kf_thresh=0.0)
+        sysm = plan["sys"]
+        assert sysm.planner.n_overflows >= 1, \
+            "stream must have tripped an overflow flag"
+        assert sysm.planner.overflow & pl.F_PROX_OVF
+        assert not sysm.planner.engaged
+        assert sysm.planner.cooldown > 0
+        # the stream completed on the classic path with sane state
+        assert plan["counter"] > 5
+        assert np.isfinite(plan["traj"]).all()
+        traj = sysm.terminate(backend_steps=())
+        assert np.isfinite(traj).all()
     finally:
         fg._fused_step.clear_cache()
         fg._fused_step_mf.clear_cache()

@@ -61,6 +61,47 @@ class TestPanopticFPN:
         assert float(out["p2"][0, 2, 4, 0]) == 5.0
 
 
+class TestBf16Parity:
+    @pytest.mark.slow
+    def test_bf16_matches_f32(self):
+        """Parity gate for the bf16 default of benchmark_vps.py: the
+        bf16 dense path (plain AND fusion) must agree with f32 on the
+        semantic argmax map for the overwhelming majority of pixels
+        and produce a matching top detection."""
+        from pvo_tpu.vps.panoptic_fpn import PanopticPredictor
+
+        rng = np.random.RandomState(1)
+        Hi, Wi = 64, 96
+        imgs = [rng.randint(0, 255, (Hi, Wi, 3)).astype(np.uint8)
+                for _ in range(2)]
+        flow = (rng.randn(Hi, Wi, 2) * 1.5).astype(np.float32)
+        kw = dict(image_hw=(Hi, Wi), max_dets=10,
+                  model_kwargs={"backbone_blocks": (1, 1, 1, 1)})
+        p32 = PanopticPredictor(**kw)
+        p16 = PanopticPredictor(params=p32.params, bf16=True, **kw)
+
+        for fusion in (False, True):
+            outs = []
+            for p in (p32, p16):
+                p._video_id = None
+                p(imgs[0], video_id="v")
+                _, _, sem, dets = p(
+                    imgs[1], video_id="v",
+                    flow=flow if fusion else None)
+                outs.append((sem, dets))
+            (sem32, d32), (sem16, d16) = outs
+            agree = float(np.mean(sem32 == sem16))
+            assert agree >= 0.9, (fusion, agree)
+            # top detection: same class, near-identical box
+            if bool(d32["valid"][0]) and bool(d16["valid"][0]):
+                assert int(d32["classes"][0]) == int(d16["classes"][0])
+                np.testing.assert_allclose(
+                    d32["boxes"][0], d16["boxes"][0], atol=2.0)
+                assert abs(float(d32["scores"][0]) -
+                           float(d16["scores"][0])) < 0.1
+            assert sem16.dtype == np.uint8
+
+
 class TestCombine:
     def test_combine_ids(self):
         D = 4
