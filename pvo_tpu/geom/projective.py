@@ -43,11 +43,17 @@ def gather_disp_rows(disps, ii):
     (B, F, H, W) buffer) to a SEQUENTIAL dynamic-slice loop on TPU —
     ~3 ms per linearization at the fused tracking DBA's 144 BA edges
     (scripts/trace_track.py round 3). The one-hot operand has exactly
-    one 1.0 per row, so the f32 contraction is bit-exact. Integer/bool
-    or tiny inputs fall back to the plain gather.
+    one 1.0 per row, so the f32 contraction is bit-exact for FINITE
+    buffers. Non-finite values in UNSELECTED rows would pollute every
+    output row (0*inf = NaN), unlike a plain gather — callers keep the
+    disparity buffer clamped/finite (vo/dba.py retraction clamp), so
+    no masking pass is spent here. Integer/bool inputs take the plain
+    gather (a 0/1 float contraction can't represent them exactly).
     """
     F = disps.shape[1]
     idx = jnp.asarray(ii)
+    if not jnp.issubdtype(disps.dtype, jnp.floating):
+        return disps[:, idx]
     oh = (idx[:, None] == jnp.arange(F, dtype=jnp.int32)[None, :]
           ).astype(disps.dtype)
     return jnp.einsum("nf,bf...->bn...", oh, disps)

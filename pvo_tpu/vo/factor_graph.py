@@ -56,17 +56,24 @@ def _pallas_backend_ok():
     return jax.default_backend() == "tpu"
 
 
+# VMEM budget for the fused corr kernel's resident f2 pyramid: the
+# core has ~16 MB; leave headroom for the f1/coords blocks, selector
+# banks, the (BLK, 4*TAPS) output and compiler scratch.
+_CORR_VMEM_BUDGET = 10 * 2 ** 20
+
+
 def _use_pallas_corr(h=None, w=None):
     """Pallas fused corr on TPU (much faster than the XLA gather
-    path); override with PVO_PALLAS_CORR=0/1. Shape-gated: both axes
-    are handled by the kernel's tiling (up to 8 tiles each ~ 7168 px
-    wide and tall streams); beyond that fall back to the XLA path
-    instead of asserting."""
+    path); override with PVO_PALLAS_CORR=0/1. Shape-gated by the
+    kernel's estimated VMEM footprint (every pyramid level stays fully
+    resident per program — pallas_corr.corr_vmem_bytes): geometries
+    beyond the budget fall back to the XLA path instead of asserting
+    or OOMing VMEM."""
     if not _pallas_backend_ok():
         return False
-    if h is not None or w is not None:
-        from pvo_tpu.vo.net.pallas_corr import TILE_W
-        if (h or 0) > 8 * TILE_W or (w or 0) > 8 * TILE_W:
+    if h is not None and w is not None:
+        from pvo_tpu.vo.net.pallas_corr import corr_vmem_bytes
+        if corr_vmem_bytes(h, w) > _CORR_VMEM_BUDGET:
             return False
     return True
 

@@ -116,6 +116,29 @@ def build_padded_pyramid(fmap2, num_levels=4):
     return levels, shapes
 
 
+def corr_vmem_bytes(h, w, C=128, itemsize=4, num_levels=4):
+    """Estimated per-program VMEM footprint of the fused lookup's
+    resident f2 pyramid: sum over levels of the PADDED block size
+    (m_t, T_H, n_t, LANE, C) that build_padded_pyramid produces. The
+    admission gate compares this against the ~16 MB/core VMEM budget
+    (pallas_guide: VMEM ~16 MB) — a raw tile-count gate admitted
+    geometries needing hundreds of MB (round-3 advisor finding)."""
+    total = 0
+    H, W = h, w
+    for _ in range(num_levels):
+        if W <= LANE - PATCH:
+            n_t, lanes = 1, LANE
+        else:
+            n_t, lanes = -(-W // TILE_W), LANE
+        if H <= LANE - PATCH:
+            m_t, T_H = 1, H
+        else:
+            m_t, T_H = -(-H // TILE_W), TILE_W
+        total += m_t * T_H * n_t * lanes * C * itemsize
+        H, W = H // 2, W // 2
+    return total
+
+
 SHIFT = PATCH
 
 
@@ -158,7 +181,10 @@ def _kernel(f1_ref, c_ref, r_ref, *refs, shapes, blk):
     taps vanish because (a) lane-wrap lands them in zero-padded f2
     lanes / sliced-off A_y lanes and (b) a two-hot beyond lane 127
     compares false everywhere — reproducing the CUDA out-of-bounds
-    semantics with no masks. Requires H_l, W_l <= LANE - PATCH.
+    semantics with no masks. Levels larger than LANE - PATCH on either
+    axis are x-/y-tiled (see build_padded_pyramid); every level stays
+    FULLY resident in VMEM per program, so callers must gate admission
+    by corr_vmem_bytes() (vo/factor_graph.py _use_pallas_corr).
     """
     n_lvl = len(shapes)
     lvl_refs = refs[:n_lvl]

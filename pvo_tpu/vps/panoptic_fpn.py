@@ -418,8 +418,19 @@ class PanopticPredictor:
                   video_id == self._video_id and self._prev is not None)
         if fusion:
             feats_ref = self._prev
-            d = None if depth is None else jnp.asarray(
-                depth, jnp.float32)
+            if depth is None:
+                d = None
+            elif isinstance(depth, jax.Array):
+                # device-resident depth (PVO-loop mode: VO produced it
+                # on device) — no relay round-trip
+                d = depth.astype(jnp.float32)
+            elif self.bitcompat_flow or self.depth_proj:
+                # reprojection / bit-replay need full precision
+                d = jnp.asarray(depth, jnp.float32)
+            else:
+                # z-order splat only consumes depth ORDER — f16 halves
+                # the relay payload (~40 -> ~20 ms at vkitti res)
+                d = jnp.asarray(np.asarray(depth, np.float16))
             depth_proj = (d is not None and self.depth_proj and
                           pose_w2c is not None and
                           self._prev_pose is not None)
@@ -429,8 +440,15 @@ class PanopticPredictor:
             # the round-3 fusion-vs-plain gap almost exactly. bitcompat
             # replay keeps f32 (the uint16 C-cast must see the exact
             # reference values).
-            fdt = np.float32 if self.bitcompat_flow else np.float16
-            fl = jnp.asarray(np.asarray(flow, fdt))
+            if isinstance(flow, jax.Array):
+                # device-resident flow: keep it on device (a numpy
+                # cast here would force a d2h+h2d round trip)
+                fl = flow.astype(jnp.float32 if self.bitcompat_flow
+                                 else jnp.float16)
+            else:
+                fdt = (np.float32 if self.bitcompat_flow
+                       else np.float16)
+                fl = jnp.asarray(np.asarray(flow, fdt))
             sem_dev, dets, feats_cur = self._apply(
                 self.params, x, feats_ref, fl, d,
                 jnp.asarray(self._prev_pose, jnp.float32)

@@ -80,18 +80,26 @@ def test_packed_layout_matches_expanded_weights():
 
 
 def test_shape_gate(monkeypatch):
-    """Both axes are handled by tiling up to a sanity bound; beyond
-    that fall back to the XLA path."""
+    """Admission is bounded by the kernel's estimated VMEM footprint
+    (every pyramid level stays fully resident per program): geometries
+    beyond the ~16 MB/core budget fall back to the XLA path instead of
+    OOMing VMEM (round-3 advisor finding — the old 8-tile count gate
+    admitted multi-hundred-MB footprints)."""
     from pvo_tpu.vo import factor_graph as fg
+    from pvo_tpu.vo.net.pallas_corr import corr_vmem_bytes
 
     monkeypatch.setenv("PVO_PALLAS_CORR", "1")
     fg._pallas_backend_ok.cache_clear()
     try:
-        assert fg._use_pallas_corr(30, 101)
-        assert fg._use_pallas_corr(30, 121)       # 2 x-tiles
-        assert fg._use_pallas_corr(156, 47)       # 2 y-tiles
-        assert fg._use_pallas_corr(128, 160)      # 1024-tall video
-        assert not fg._use_pallas_corr(30, 9000)  # beyond 8 tiles
+        assert fg._use_pallas_corr(30, 101)       # tracking (3.4 MB)
+        assert fg._use_pallas_corr(30, 121)       # 2 x-tiles (5.3 MB)
+        assert fg._use_pallas_corr(47, 156)       # test_vo2 (8.3 MB)
+        # y-tiled tall geometries pad rows to 112-row tiles: their
+        # footprints exceed VMEM and must take the XLA fallback
+        assert corr_vmem_bytes(156, 47) > fg._CORR_VMEM_BUDGET
+        assert not fg._use_pallas_corr(156, 47)
+        assert not fg._use_pallas_corr(128, 160)
+        assert not fg._use_pallas_corr(30, 9000)
         assert not fg._use_pallas_corr(9000, 30)
         assert fg._use_pallas_corr()              # shape-agnostic gate
     finally:
@@ -157,8 +165,9 @@ def test_width_gate_allows_tiled_widths(monkeypatch):
     fg._pallas_backend_ok.cache_clear()
     try:
         assert fg._use_pallas_corr(47, 156)   # test_vo2 geometry
-        assert fg._use_pallas_corr(30, 500)
-        assert not fg._use_pallas_corr(30, 9000)  # beyond 8 tiles
+        # (30, 500) pads to 5 x-tiles = 13.2 MB > budget -> XLA path
+        assert not fg._use_pallas_corr(30, 500)
+        assert not fg._use_pallas_corr(30, 9000)
     finally:
         fg._pallas_backend_ok.cache_clear()
 

@@ -69,3 +69,41 @@ class TestROIAlign:
         expected = 4.0 + bin_w * (np.arange(6) + 0.5) - 0.5
         np.testing.assert_allclose(out[:, :, 0].mean(axis=0), expected,
                                    atol=0.1)
+
+
+class TestMultilevelFlat:
+    def test_flat_matches_per_level_select(self):
+        """The single-gather multilevel pooler must reproduce the
+        per-level pool + take_along_axis form exactly (round-4 rewrite
+        — 4x less gather traffic, same values)."""
+        from pvo_tpu.vps import roi_heads as rh
+
+        rng = np.random.RandomState(0)
+        feats = {}
+        H0, W0 = 64, 96
+        for lvl, stride in zip(rh.BOX_LEVELS, rh.BOX_STRIDES):
+            h, w = H0 * 4 // stride, W0 * 4 // stride
+            feats[lvl] = jnp.asarray(
+                rng.randn(1, h, w, 8).astype(np.float32))
+        # boxes spanning all assigned levels (sides 8..300 px)
+        sides = rng.uniform(8, 300, (24, 2))
+        cx = rng.uniform(0, 4 * W0, (24,))
+        cy = rng.uniform(0, 4 * H0, (24,))
+        boxes = jnp.asarray(np.stack(
+            [cx - sides[:, 0] / 2, cy - sides[:, 1] / 2,
+             cx + sides[:, 0] / 2, cy + sides[:, 1] / 2], axis=1
+        ).astype(np.float32))
+
+        got = rh.multilevel_roi_align(feats, boxes, out_size=7)
+
+        lvl_idx = rh.assign_levels(boxes)
+        pooled = []
+        for lvl, stride in zip(rh.BOX_LEVELS, rh.BOX_STRIDES):
+            pooled.append(ops.roi_align(
+                feats[lvl][0], boxes, out_size=7,
+                spatial_scale=1.0 / stride, samples=4))
+        ref = jnp.take_along_axis(
+            jnp.stack(pooled, 0),
+            lvl_idx[None, :, None, None, None], axis=0)[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
