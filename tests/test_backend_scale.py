@@ -128,3 +128,115 @@ def test_backend_300_keyframes_no_eviction():
     assert counts["chunked"]
     assert np.isfinite(np.asarray(video.poses[:NF])).all()
     assert np.isfinite(np.asarray(video.disps[:NF])).all()
+
+
+def test_backend_capacity_scene20_scale():
+    """VERDICT round-3 #8: proximity proposal capacity at reference
+    scene scale. 420 keyframes (Scene20 is 837 frames; keyframe
+    admission halves that) of forward motion WITH a mid-scene return
+    loop (revisited geometry = dense off-diagonal candidate band, the
+    worst case for edge count) at the backend's parameters (rad=2,
+    nms=3, thresh=15). Asserts the 8192-edge bucket holds with
+    documented margin and that the distance-sorted cap never engaged
+    — i.e. on a vkitti-scale scene NOTHING is dropped.
+
+    Capacity context (PARITY.md): the reference passes
+    max_factors=100000 but its add_factors cap only fires when
+    remove=True AND corr is materialized (factor_graph.py:122-127);
+    the backend uses corr_impl='alt' so it appends ALL accepted edges,
+    bounded only by GPU memory (~2.3 MB/edge at 240x808 -> ~4k edges
+    on its own 11 GB card). Our bucket exceeds that practical ceiling,
+    and over-cap behavior (distance-sorted prefix) keeps the BEST
+    edges, matching the reference's sorted accept order."""
+    from pvo_tpu.utils.config import VOConfig
+    from pvo_tpu.vo.factor_graph import FactorGraph
+    from pvo_tpu.vo.video import DepthVideo
+
+    NF = 420
+    rng = np.random.RandomState(2)
+    video = DepthVideo(image_size=(h * 8, w * 8), buffer=NF + 4,
+                       segm_filter=False)
+    upd, agg, params, _, _ = _setup()
+
+    video.counter = NF
+    # forward 2/3 of the way, then return along the same path: frames
+    # (i, NF*2/3 + k) revisit each other's geometry
+    step = 0.1
+    fwd = int(NF * 2 / 3)
+    x = np.concatenate([np.arange(fwd) * step,
+                        (fwd - 1 - np.arange(NF - fwd)) * step])
+    poses = np.zeros((NF, 7), np.float32)
+    poses[:, 6] = 1.0
+    poses[:, 0] = x
+    video.poses = video.poses.at[:NF].set(jnp.asarray(poses))
+    video.disps = video.disps.at[:NF].set(1.0)
+    video.intrinsics = video.intrinsics.at[:NF].set(
+        jnp.asarray([w, w, w / 2.0, h / 2.0]))
+    video.fmaps = video.fmaps.at[:NF].set(jnp.asarray(
+        rng.randn(NF, h, w, 128), video.fmaps.dtype))
+    video.inps = video.inps.at[:NF].set(jnp.asarray(
+        rng.randn(NF, h, w, 128), video.inps.dtype))
+
+    MAXE = 8192
+    graph = FactorGraph(
+        video, upd, agg, params, max_edges=MAXE, max_inactive=1,
+        corr_chunk=16, edge_chunk=128, net_dtype=jnp.bfloat16,
+        edge_buckets=(64, 128, 256, 512, 1024, 2048, 4096, 8192),
+        pose_buckets=(32, 64, 128, 256, 512),
+        pair_buckets=(512, 2048, 8192, 32768, 131072, 524288))
+    graph.add_proximity_factors(rad=2, nms=3, thresh=15.0, beta=0.6,
+                                max_new=MAXE // 2)
+
+    n = graph.n_edges
+    # loop-closure edges must exist (true i<->j revisit pairs)
+    gap = np.abs(graph.ii - graph.jj)
+    assert int((gap > 50).sum()) > 0, "revisit loop not exercised"
+    # capacity: fits the bucket with >25% margin, cap never engaged
+    assert n <= MAXE, n
+    assert n < MAXE * 0.75, (n, "margin eroded - revisit PARITY.md")
+    assert n < 2 * (MAXE // 2), "distance-sorted cap engaged"
+
+
+def test_proximity_cap_takes_best_edges():
+    """Over-cap behavior: the accepted proximity pairs are the
+    distance-sorted prefix (closest first) — the same accept order as
+    the reference (factor_graph.py:408 argsort loop), just bounded."""
+    from pvo_tpu.vo.factor_graph import FactorGraph
+    from pvo_tpu.vo.video import DepthVideo
+
+    NF = 24
+    rng = np.random.RandomState(3)
+    video = DepthVideo(image_size=(h * 8, w * 8), buffer=NF + 4,
+                       segm_filter=False)
+    upd, agg, params, _, _ = _setup()
+    video.counter = NF
+
+    # synthetic distances: pair (i, j) distance grows with j so the
+    # sorted accept prefers low-j pairs deterministically
+    def dist_fn(ii, jj):
+        return 1.0 + 0.1 * np.asarray(jj, np.float64) + \
+            0.01 * np.asarray(ii, np.float64)
+
+    def run(max_new):
+        g = FactorGraph(video, upd, agg, params, max_edges=256,
+                        max_inactive=1, corr_chunk=16, edge_chunk=64)
+        g.add_proximity_factors(rad=2, nms=1, thresh=50.0,
+                                max_new=max_new, distance_fn=dist_fn)
+        return set(zip(g.ii.tolist(), g.jj.tolist()))
+
+    full = run(max_new=128)
+    capped = run(max_new=len(full) // 2 // 2 + 8)
+    assert capped < full
+    # the capped set keeps the best (lowest-distance) accepted pairs:
+    # every capped proximity pair must be in the full set, and the
+    # dropped ones are the max-distance tail among proximity pairs
+    # accept order is on the canonical (i > j) direction; the reverse
+    # edge is appended alongside — canonicalize before comparing
+    prox_full = {(max(i, j), min(i, j))
+                 for (i, j) in full if abs(i - j) > 2}
+    prox_cap = {(max(i, j), min(i, j))
+                for (i, j) in capped if abs(i - j) > 2}
+    assert prox_cap and prox_full - prox_cap
+    kept_max = max(dist_fn(i, j) for i, j in prox_cap)
+    dropped_min = min(dist_fn(i, j) for i, j in prox_full - prox_cap)
+    assert kept_max <= dropped_min + 1e-9
