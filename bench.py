@@ -30,14 +30,25 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def synth_stream(n, H, W, seed=0):
+    """Synthetic stream with a POPULATED panoptic segment map: ~90
+    distinct ids per frame (4x4-cell grid at 1/8 res, shifting with
+    the image) saturating the 96 static per-frame segment slots, so
+    the segment-vote kernel and the host id-remap run at real
+    occupancy — an all-zero map (round-3 bench) never exercised the
+    remap or produced non-trivial votes."""
     rng = np.random.RandomState(seed)
     base = rng.randint(0, 255, (H + 64, W + 64, 3), np.uint8)
+    h, w = H // 8, W // 8
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     intr = np.array([725.0087 * W / 1242, 725.0087 * W / 1242,
                      W / 2.0, H / 2.0], np.float32)
     for t in range(n):
         dy, dx = (2 * t) % 64, (3 * t) % 64
         img = base[dy:dy + H, dx:dx + W]
-        segm = np.zeros((H // 8, W // 8), np.int32)
+        # vkitti-style global ids (cat*10000+inst), shifted per frame
+        # like the image so segments track scene motion
+        segm = ((((yy + t) // 4) * (w // 4 + 1) + (xx + 2 * t) // 4)
+                % 90 + 1).astype(np.int32) * 10000 + 3
         yield t, img, intr, segm
 
 
@@ -86,11 +97,39 @@ def main():
           " ".join(f"{x:.2f}" for x in per_frame), file=sys.stderr)
 
     fps = n_meas / dt
+
+    # MFU accounting (VERDICT round-3 #5): device-op trace of 3 more
+    # frames + XLA cost analysis of the merged per-frame program,
+    # against the chip's bf16 MXU peak
+    device_ms = mfu = None
+    if sysm.planner.engaged:
+        import tempfile
+        from scripts.kbench import _device_op_totals, peak_flops
+        n_tr = 3
+        extra = list(synth_stream(n_warm + n_meas + n_tr, H, W))
+        with tempfile.TemporaryDirectory() as td:
+            with jax.profiler.trace(td):
+                for (t, img, intr, segm) in extra[-n_tr:]:
+                    sysm.track(t, img, intr, segments=segm)
+                jax.block_until_ready(sysm.video.poses)
+            agg, _ = _device_op_totals(td)
+        tot = sum(v for k, v in agg.items() if k.startswith("jit_"))
+        device_ms = tot / 1e3 / n_tr
+        t, img, intr, segm = extra[-1]
+        prep = sysm.filterx.prepare(t + 1, img, intr, segm)
+        c = sysm.planner.step_cost_analysis(prep)
+        flops = float(c.get("flops", 0.0))
+        mfu = flops / (device_ms / 1e3) / peak_flops()
+
     print(json.dumps({
         "metric": "vo_track_frames_per_sec",
         "value": round(fps, 3),
-        "unit": "frames/s/chip @240x808 keyframe-everything",
+        "unit": "frames/s/chip @240x808 keyframe-everything, "
+                "~90 segments/frame",
         "vs_baseline": round(fps / 10.0, 3),
+        "device_ms_per_frame": round(device_ms, 2) if device_ms
+        else None,
+        "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
     }))
 
 

@@ -915,15 +915,14 @@ class PlannerDriver:
 
     # ---------------- per-frame ----------------
 
-    def track(self, tstamp, image, intrinsics, segments=None):
+    def _step_call(self, prep):
+        """(args, kwargs) of the merged per-frame program for the
+        CURRENT state — shared by track() and step_cost_analysis()."""
         sysm = self.sys
         fx, fe, g, v = (sysm.filterx, sysm.frontend,
                         sysm.frontend.graph, sysm.video)
         cfg = sysm.cfg
-        prep = fx.prepare(tstamp, image, intrinsics, segments)
-        assert not prep["first"]
-
-        outs = _planner_step(
+        args = (
             g.params, fx.params,
             v.poses, v.disps, v.fmaps, v.nets, v.inps, v.segms,
             v.images, v.intrinsics, v.damping,
@@ -931,7 +930,8 @@ class PlannerDriver:
             g.full_flow, g.target_inac, g.weight_inac,
             *self._gtop, self._scal, self._dvec, self._dmat,
             fx._fmap, fx._net, fx._inp,
-            prep["image"], prep["intr8"], prep["segm"],
+            prep["image"], prep["intr8"], prep["segm"])
+        kwargs = dict(
             update_apply=g.update_apply, agg_apply=g.agg_apply,
             fnet_apply=fx.fnet_apply, cnet_apply=fx.cnet_apply,
             K=32, P=32, PAIRS=2048, S_MAX=v.max_segments,
@@ -946,6 +946,29 @@ class PlannerDriver:
             seg_thresh=float(v.thresh), damp_fac=0.2, EP=1e-7,
             lm=1e-4, ep=0.1, beta=float(cfg.beta),
             kf_thresh=float(cfg.keyframe_thresh))
+        return args, kwargs
+
+    def step_cost_analysis(self, prep):
+        """XLA cost analysis (flops etc.) of the merged per-frame
+        program at the current shapes — feeds the MFU accounting in
+        scripts/trace_track.py. lower() only reads shapes; nothing is
+        executed or donated."""
+        args, kwargs = self._step_call(prep)
+        c = _planner_step.lower(*args, **kwargs).compile()\
+            .cost_analysis()
+        if isinstance(c, list):
+            c = c[0]
+        return c
+
+    def track(self, tstamp, image, intrinsics, segments=None):
+        sysm = self.sys
+        fx, v = sysm.filterx, sysm.video
+        g = sysm.frontend.graph
+        prep = fx.prepare(tstamp, image, intrinsics, segments)
+        assert not prep["first"]
+
+        args, kwargs = self._step_call(prep)
+        outs = _planner_step(*args, **kwargs)
 
         (v.poses, v.disps, v.fmaps, v.nets, v.inps, v.segms, v.images,
          v.intrinsics, v.damping,

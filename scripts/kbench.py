@@ -54,3 +54,20 @@ def device_time_ms(fn, top=0):
         for n, v in agg.most_common(top):
             print(f"    {v / 1e3:9.3f} ms {cnt[n]:5d}x  {n[:84]}")
     return total / 1e3
+
+
+_PEAK_BF16 = {
+    # chip bf16 MXU peak, FLOP/s (dense)
+    "TPU v5 lite": 197e12,        # v5e
+    "TPU v5": 459e12,             # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,        # v6e / Trillium
+}
+
+
+def peak_flops(device=None):
+    """bf16 MXU peak of the attached chip (FLOP/s); MFU numbers are
+    conventionally quoted against the bf16 peak. Unknown chips fall
+    back to v5e."""
+    d = device or jax.devices()[0]
+    return _PEAK_BF16.get(getattr(d, "device_kind", ""), 197e12)
