@@ -93,6 +93,37 @@ def _edge_blocks(target, weight, poses, disps, intrinsics, ii, jj):
     return Hblk, vblk, Ei, Ej, Ck, wk
 
 
+def _depth_only_step(target, weight, eta, poses, disps, intrinsics,
+                     ii, jj, kx, kk):
+    """Exact BA step when every pose is fixed (P == 0).
+
+    With no free poses the Schur system degenerates to the depth
+    diagonal: dx is empty and dz = (C + eta)^-1 w. test_vo2's export
+    runs exactly this case (2-frame window, fixedp=2, reference
+    evaluation_scripts/test_vo2.py), where the full path spends
+    ~26 ms/iteration assembling pose jacobians and Hessian blocks
+    that multiply an empty dx (docs/PERF.md round 3)."""
+    B, N = target.shape[0], target.shape[1]
+    ht, wd = disps.shape[-2:]
+    HW = ht * wd
+    M = len(kx)
+
+    coords, valid, _, _, Jz_pl = projective.projective_jacobian_planes(
+        poses, disps, intrinsics, ii, jj, pose_jac=False)
+
+    r = jnp.moveaxis((target - coords).reshape(B, N, HW, 2), -1, 2)
+    w = 0.001 * jnp.moveaxis(
+        (valid * weight).reshape(B, N, HW, 2), -1, 2)   # (B,N,2,HW)
+
+    wk = jnp.sum(w * r * Jz_pl, axis=2)                 # (B,N,HW)
+    Ck = jnp.sum(w * Jz_pl * Jz_pl, axis=2)
+
+    C = _svec(Ck, kk, M)
+    wv = _svec(wk, kk, M)
+    C = C + eta.reshape(C.shape) + 1e-7
+    return wv / C                                        # dz (B,M,HW)
+
+
 def bundle_adjust(target, weight, eta, poses, disps, intrinsics, ii, jj,
                   fixedp=2, ep=0.1, lm=1e-4):
     """One full-BA Gauss-Newton step (poses + inverse depths).
@@ -108,6 +139,16 @@ def bundle_adjust(target, weight, eta, poses, disps, intrinsics, ii, jj,
 
     kx, kk = np.unique(ii, return_inverse=True)
     M = len(kx)
+
+    if P_all - fixedp <= 0:
+        dz = _depth_only_step(target, weight, eta, poses, disps,
+                              intrinsics, ii, jj, kx, kk)
+        oh_k = _const_oh(kx, np.ones(len(kx), bool), P_all)
+        dz_full = jnp.einsum("ms,bm...->bs...", oh_k, dz)
+        disps = disps + dz_full.reshape(B, P_all, ht, wd)
+        disps = jnp.where(disps > 10.0, jnp.zeros_like(disps), disps)
+        disps = jnp.maximum(disps, 0.0)
+        return poses, disps
 
     Hblk, vblk, Ei, Ej, Ck, wk = _edge_blocks(
         target, weight, poses, disps, intrinsics, ii, jj)

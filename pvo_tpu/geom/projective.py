@@ -173,8 +173,12 @@ def projective_transform(poses, disps, intrinsics, ii, jj,
     return x1, valid, (Ji, Jj, Jz)
 
 
-def projective_jacobian_planes(poses, disps, intrinsics, ii, jj):
+def projective_jacobian_planes(poses, disps, intrinsics, ii, jj,
+                               pose_jac=True):
     """Jacobians of :func:`projective_transform` in PLANE layout.
+
+    ``pose_jac=False`` skips the pose jacobians (Ji_pl/Jj_pl returned
+    as None) for depth-only solves where every pose is fixed.
 
     The stacked per-pixel layout (..., H, W, 2, 6) puts 6 in the lane
     dimension (5% lane use) and composes Jp @ Ja / Jj @ Adj as
@@ -219,19 +223,22 @@ def projective_jacobian_planes(poses, disps, intrinsics, ii, jj):
     o = jnp.zeros_like(a)
     Xa = Xp * a
     Ya = Yp * a
-    aZ = a * Zu   # == 1 except where Z was clamped (invalid pixels)
-    # rows of Jp @ Ja expanded symbolically (Jp: proj jacobian, Ja:
-    # act_se3 jacobian; see those functions for the factor forms)
-    Jj_pl = jnp.stack([
-        fx * a * hc, o, -fx * Xa * a * hc,
-        -fx * Xa * Ya, fx * (aZ + Xa * Xa), -fx * Ya,
-        o, fy * a * hc, -fy * Ya * a * hc,
-        -fy * (aZ + Ya * Ya), fy * Xa * Ya, fy * Xa,
-    ], axis=2).reshape(B, N, 2, 6, HW)
+    if pose_jac:
+        aZ = a * Zu  # == 1 except where Z was clamped (invalid pixels)
+        # rows of Jp @ Ja expanded symbolically (Jp: proj jacobian, Ja:
+        # act_se3 jacobian; see those functions for the factor forms)
+        Jj_pl = jnp.stack([
+            fx * a * hc, o, -fx * Xa * a * hc,
+            -fx * Xa * Ya, fx * (aZ + Xa * Xa), -fx * Ya,
+            o, fy * a * hc, -fy * Ya * a * hc,
+            -fy * (aZ + Ya * Ya), fy * Xa * Ya, fy * Xa,
+        ], axis=2).reshape(B, N, 2, 6, HW)
 
-    # adjoint transport of the rows: Ji = -Jj @ Adj, HW on lanes
-    Adj = se3.adj_matrix(Gij)                          # (B,N,6,6)
-    Ji_pl = -jnp.einsum("bncdh,bnde->bnceh", Jj_pl, Adj)
+        # adjoint transport of the rows: Ji = -Jj @ Adj, HW on lanes
+        Adj = se3.adj_matrix(Gij)                      # (B,N,6,6)
+        Ji_pl = -jnp.einsum("bncdh,bnde->bnceh", Jj_pl, Adj)
+    else:
+        Ji_pl = Jj_pl = None
 
     tij = Gij[..., :3]
     t0 = tij[..., 0][..., None]

@@ -20,6 +20,8 @@ compiled program; padded rows are discarded at readback.
 from __future__ import annotations
 
 import functools
+import os
+import time
 
 import numpy as np
 
@@ -147,12 +149,19 @@ class TrajectoryFiller:
         pose_list = []
         pending = None
         ts, ims, intr = [], [], []
+        prof = os.environ.get("PVO_PROFILE_FILLER")
 
         def flush(ts, ims, intr):
             nonlocal pending
+            t0 = time.monotonic()
             handle = self._fill_submit(ts, ims, intr, filterx)
+            t1 = time.monotonic()
             if pending is not None:
                 pose_list.append(self._resolve(pending))
+            if prof:
+                print(f"    filler batch: submit {t1 - t0:6.3f}s "
+                      f"resolve_prev {time.monotonic() - t1:6.3f}s",
+                      flush=True)
             pending = handle
 
         for item in image_stream:

@@ -55,17 +55,25 @@ def run(n_kf, H=240, W=808):
                    warmup=12, segm_filter=True)
     sysm = VOSystem(cfg)
     frames = list(synth_stream(n_kf, H, W))
+    t_tr = time.monotonic()
     for (t, img, intr, segm) in frames:
         sysm.track(t, img, intr, segments=segm)
+        if t % 20 == 0:
+            print(f"  track t={t} +{time.monotonic()-t_tr:.1f}s",
+                  flush=True)
+    print(f"  tracking total {time.monotonic()-t_tr:.1f}s", flush=True)
 
     tm = T()
     t0 = time.monotonic()
     sysm._sync()          # leave planner mode (blocking readback)
+    t0 = tm.stamp("disengage", t0, sysm.video.poses)
     pending = getattr(sysm, "_pending_adm", None)
     if pending is not None:
         sysm.filterx.resolve_track(pending)
         sysm._pending_adm = None
+    t0 = tm.stamp("resolve_track", t0)
     sysm.frontend()
+    t0 = tm.stamp("frontend_last_update", t0, sysm.video.poses)
     sysm.frontend.flush()
     t0 = tm.stamp("frontend_flush", t0, sysm.video.poses)
 

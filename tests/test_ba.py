@@ -169,3 +169,84 @@ class TestSolvers:
                                    sol[:, :Pp * D], atol=1e-8)
         np.testing.assert_allclose(dz.reshape(Bb, -1),
                                    sol[:, Pp * D:], atol=1e-8)
+
+
+class TestDepthOnlyFastPath:
+    """fixedp == P (all poses fixed) routes to the depth-only fast
+    path (geom/ba.py _depth_only_step) — the test_vo2 export case
+    (reference evaluation_scripts/test_vo2.py: 2-frame window, GT
+    poses). Parity oracle: the dense per-pixel GN depth step built
+    from the INDEPENDENT stacked-layout jacobians."""
+
+    def _scene(self):
+        poses_gt, disps_gt, poses, disps, intr = make_scene(
+            jax.random.PRNGKey(11))
+        ii, jj = graph_all_pairs()
+        target, _ = projective.projective_transform(
+            poses_gt, disps_gt, intr, ii, jj)
+        target = target + 0.3
+        weight = 0.5 + 0.5 * jax.random.uniform(
+            jax.random.PRNGKey(12), target.shape, dtype=target.dtype)
+        eta = 1e-4 * jnp.ones((B, len(np.unique(ii)), H, W),
+                              dtype=jnp.float64)
+        return target, weight, eta, poses, disps, intr, ii, jj
+
+    def test_matches_dense_depth_step(self):
+        target, weight, eta, poses, disps, intr, ii, jj = self._scene()
+
+        p1, d1 = bundle_adjust(target, weight, eta, poses, disps, intr,
+                               ii, jj, fixedp=P)
+        np.testing.assert_allclose(p1, poses, atol=0)  # poses untouched
+
+        # oracle from the stacked jacobian layout
+        coords, valid, (Ji, Jj_, Jz) = projective.projective_transform(
+            poses, disps, intr, ii, jj, jacobian=True)
+        r = (target - coords)                       # (B,N,H,W,2)
+        w = 0.001 * valid * weight
+        Jz2 = Jz[..., 0]                            # (B,N,H,W,2)
+        Ck = jnp.sum(w * Jz2 * Jz2, axis=-1)        # (B,N,H,W)
+        wk = jnp.sum(w * r * Jz2, axis=-1)
+        kx, kk = np.unique(np.asarray(ii), return_inverse=True)
+        Mn = len(kx)
+        Cs = jnp.zeros((B, Mn, H, W), Ck.dtype)
+        ws = jnp.zeros((B, Mn, H, W), wk.dtype)
+        for e, k in enumerate(kk):
+            Cs = Cs.at[:, k].add(Ck[:, e])
+            ws = ws.at[:, k].add(wk[:, e])
+        dz = ws / (Cs + eta + 1e-7)
+        d_exp = disps
+        for m, k in enumerate(kx):
+            d_exp = d_exp.at[:, k].add(dz[:, m])
+        d_exp = jnp.where(d_exp > 10.0, 0.0, jnp.maximum(d_exp, 0.0))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d_exp),
+                                   atol=1e-9)
+
+    def test_two_frame_vo2_geometry(self):
+        """The exact vo2 shape: P_all=2, fixedp=2, edges (0,1),(1,0)."""
+        _, _, poses, disps, intr = make_scene(jax.random.PRNGKey(13))
+        poses, disps, intr = poses[:, :2], disps[:, :2], intr[:, :2]
+        ii = np.array([0, 1])
+        jj = np.array([1, 0])
+        target, _ = projective.projective_transform(
+            poses, disps, intr, ii, jj)
+        target = target + 0.2
+        weight = jnp.ones_like(target)
+        eta = 1e-4 * jnp.ones((B, 2, H, W), dtype=jnp.float64)
+        p1, d1 = bundle_adjust(target, weight, eta, poses, disps, intr,
+                               ii, jj, fixedp=2)
+        np.testing.assert_allclose(p1, poses, atol=0)
+        assert bool(jnp.all(jnp.isfinite(d1)))
+        assert float(jnp.abs(d1 - disps).max()) > 1e-8
+
+    def test_grads_flow_depth_only(self):
+        target, weight, eta, poses, disps, intr, ii, jj = self._scene()
+
+        def loss(t, w):
+            _, d = bundle_adjust(t, w, eta, poses, disps, intr, ii, jj,
+                                 fixedp=P)
+            return 1e-3 * jnp.sum(d ** 2)
+
+        g_t, g_w = jax.grad(loss, argnums=(0, 1))(target, weight)
+        assert bool(jnp.all(jnp.isfinite(g_t)))
+        assert bool(jnp.all(jnp.isfinite(g_w)))
+        assert float(jnp.abs(g_t).max()) > 0
