@@ -49,6 +49,10 @@ def main():
     p.add_argument("--stride", type=int, default=3)
     p.add_argument("--buffer", type=int, default=512)
     p.add_argument("--vis", action="store_true")
+    p.add_argument("--live", type=int, default=0, metavar="PORT",
+                   help="serve the live HTTP viewer on this port "
+                        "(refreshed every --live_every keyframes)")
+    p.add_argument("--live_every", type=int, default=8)
     args = p.parse_args()
 
     frames = list(image_stream(args.imagedir, args.calib, args.stride))
@@ -60,13 +64,28 @@ def main():
     cfg = VOConfig(image_size=(H, W), buffer=args.buffer)
     sysm = VOSystem(cfg, weights_path=args.weights)
 
-    for (t, img, intr, _) in frames:
+    viewer = None
+    if args.live:
+        from pvo_tpu.vo.live_viewer import LiveViewer
+        viewer = LiveViewer(sysm.video, port=args.live)
+        print(f"live viewer: http://127.0.0.1:{viewer.port}/")
+
+    for i, (t, img, intr, _) in enumerate(frames):
         sysm.track(t, img, intr)
+        if viewer is not None and i % args.live_every == 0 \
+                and not sysm.planner.engaged:
+            # refresh only while the host mirrors are current; under
+            # planner mode a mid-stream readback would stall the
+            # device-resident pipeline
+            viewer.update()
 
     traj = sysm.terminate(iter(frames))
     np.savetxt("demo_traj.txt", traj)
     print(f"wrote demo_traj.txt ({len(traj)} poses, "
           f"{sysm.video.counter} keyframes)")
+
+    if viewer is not None:
+        viewer.update()   # final state incl. global-BA poses
 
     if args.vis:
         from pvo_tpu.vo.visualization import droid_visualization
