@@ -156,3 +156,185 @@ def test_filter_edges_drops_weak_longrange():
     assert (0, 1) in kept and (1, 6) in kept and (3, 5) in kept
     assert (2, 8) not in kept
     assert (g.ii_bad.tolist(), g.jj_bad.tolist()) == ([2], [8])
+
+
+# ---------------------------------------------------------------------------
+# PVO thesis test: segm_filter ON beats OFF on a dynamic scene
+# ---------------------------------------------------------------------------
+
+import pytest
+
+
+@pytest.mark.slow
+def test_segm_filter_on_beats_off_on_dynamic_scene(monkeypatch):
+    """The paper's central claim (reference factor_graph.py:256-280 +
+    README metrics): voting whole panoptic segments dynamic improves
+    pose accuracy on scenes with moving objects.
+
+    Harness: the oracle-core pattern of test_synth_regression — the
+    recurrent operator is replaced by a deterministic model of a
+    trained PVO net while the REAL system runs everything else
+    (motion-filter choreography, fused-step orchestration, the
+    production ``segment_vote_filter`` kernel, the reference's
+    ``sigmoid(w + (1-bin_mask)*10)`` weight semantics
+    (factor_graph.py:280), damping, the DBA solver, host topology).
+
+    Scene model: far static background (disparity 0.05 — translation
+    is nearly unobservable from it) + a near moving van (disparity
+    1.0) occupying one panoptic segment. Net model: the cam-flow head
+    predicts camera-induced flow segment-wide (it is trained with
+    cam_flow_loss on dynamic pixels, reference train.py/losses.py),
+    with small matching noise on the near object and large noise on
+    the far low-parallax background; the weight head DISTRUSTS the
+    moving object (logit -4: high temporal residual); the mask head
+    is weak, flagging only ~15% of the van's pixels per edge.
+
+    Mechanism under test: with segm_filter ON (vote threshold 0.12,
+    per-scene thresholds are a reference knob, test_vo.py:96-97) the
+    15% pixel-level flags trip the segment vote, the WHOLE van is
+    marked dynamic, and the weight boost turns its decomposed
+    cam-flow predictions into full-confidence BA constraints — the
+    only strong translation information in the scene. OFF, only the
+    flagged 15% are boosted and the pose leans on the noisy far
+    background. Measured on this seed: ATE(off)/ATE(on) = 7.3x
+    (0.0218 m vs 0.0030 m); asserted margin 1.8x.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pvo_tpu.geom import projective
+    from pvo_tpu.lie import se3
+    from pvo_tpu.utils.ate import ate_rmse
+    from pvo_tpu.vo import factor_graph as fg
+    from pvo_tpu.utils.config import VOConfig
+    from pvo_tpu.vo.system import VOSystem
+
+    N, H, W = 12, 64, 96
+    h, w = H // 8, W // 8
+
+    # GT trajectory: forward translation + slight yaw
+    tang = np.zeros((N, 6), np.float32)
+    tang[:, 0] = 0.04 * np.arange(N)
+    tang[:, 4] = 0.01 * np.arange(N)
+    gt_poses = jnp.asarray(np.asarray(
+        jax.vmap(se3.exp)(jnp.asarray(tang))))
+
+    # far background, near object (strong parallax)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    obj = ((yy >= 2) & (yy < 7) & (xx >= 3) & (xx < 10))
+    disp_np = np.full((h, w), 0.05, np.float32)
+    disp_np[obj] = 1.0
+    gt_disps = jnp.asarray(np.tile(disp_np, (N, 1, 1)))
+
+    # object image-space motion: px/frame at 1/8 res
+    obj_flow = np.array([0.9, 0.35], np.float32)
+
+    # weak mask head: ~15% of object pixels flagged, per-pixel pattern
+    flag = obj & (((yy * 7 + xx * 13) % 7) == 0)
+    frac = flag.sum() / obj.sum()
+    assert 0.10 < frac < 0.25, frac
+
+    obj_j = jnp.asarray(obj)
+    flag_j = jnp.asarray(flag)
+    yyf = jnp.asarray(yy, jnp.float32)
+    xxf = jnp.asarray(xx, jnp.float32)
+
+    def oracle_core(params, poses, disps, intrinsics, fmaps, inps,
+                    segms, net, target_cam, raw_mask, delta_dy,
+                    ii, jj, valid, w0, seg_thresh, update_apply,
+                    agg_apply, K, S_MAX, segm_filter, corr_chunk=16,
+                    segms_e=None, **_kw):
+        E = ii.shape[0]
+        F = poses.shape[0]
+        gp = jnp.concatenate(
+            [gt_poses, jnp.tile(gt_poses[-1:], (F - N, 1))])[None]
+        gd = jnp.concatenate(
+            [gt_disps, jnp.tile(gt_disps[-1:], (F - N, 1, 1))])[None]
+        intr_b = jnp.broadcast_to(intrinsics, (1, F, 4))
+        coords_gt, vmask = projective.projective_transform(
+            gp, gd, intr_b, ii, jj)
+        vm = valid[:, None, None, None].astype(jnp.float32) * \
+            vmask[0].astype(jnp.float32)
+
+        # deterministic matching noise: small on the near textured
+        # object, large on the far low-parallax background
+        ph = ii.astype(jnp.float32)[:, None, None]
+        nz_u = jnp.sin(2.1 * yyf + 1.7 * xxf + 3.3 * ph)
+        nz_v = jnp.cos(1.3 * yyf + 2.9 * xxf + 5.1 * ph)
+        amp = jnp.where(obj_j, 0.10, 0.50)
+        noise = jnp.stack([nz_u * amp, nz_v * amp], -1)[..., :, :]
+
+        target = coords_gt[0] + noise
+        weight_logits = jnp.where(obj_j, -4.0, -2.0)[None, ..., None]
+        weight_logits = jnp.broadcast_to(
+            weight_logits, target.shape).astype(jnp.float32)
+
+        # mask head: flags `flag` pixels dynamic, everything else static
+        raw_new = jnp.where(flag_j, -8.0, 8.0)[None, ..., None]
+        raw_new = jnp.broadcast_to(raw_new, target.shape)
+        bin_mask = (jax.nn.sigmoid(raw_new) >= fg.DY_THRESH)
+
+        if segm_filter:
+            se = segms_e if segms_e is not None else segms[ii]
+            bin_mask = fg.segment_vote_filter(bin_mask, se, valid,
+                                              S_MAX, seg_thresh)
+        bin_mask = bin_mask.astype(jnp.float32)
+
+        # the reference's exact weight semantics (factor_graph.py:280)
+        weight = jax.nn.sigmoid(weight_logits +
+                                (1.0 - bin_mask) * 10.0) * vm
+
+        # dy head: object flow, gated like the reference (:281)
+        dtf = (jj - ii).astype(jnp.float32)[:, None, None, None]
+        dy_out = jnp.where(obj_j[None, ..., None],
+                           jnp.asarray(obj_flow), 0.0) * dtf
+        new_dy = dy_out * (1.0 - bin_mask)
+
+        coords0 = projective.coords_grid(h, w)
+        eta = 1e-4 * jnp.ones((K, h, w), jnp.float32)
+        counts = jax.ops.segment_sum(
+            valid.astype(jnp.int32),
+            jnp.where(valid, ii - w0, K).astype(jnp.int32),
+            num_segments=K + 1)[:K]
+        return (net, target, weight, raw_new, new_dy,
+                target - coords0, eta, counts > 0)
+
+    monkeypatch.setattr(fg, "_update_core", oracle_core)
+    fg._fused_step.clear_cache()
+
+    # panoptic segments: van = one segment, background = another
+    segm_map = np.where(obj, 130001, 20000).astype(np.int32)
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 255, (H * 2, W * 2, 3), np.uint8)
+    intr = np.array([40.0, 40.0, W / 2, H / 2], np.float32)
+
+    def run(filter_on):
+        cfg = VOConfig(image_size=(H, W), buffer=64, warmup=5,
+                       filter_thresh=-1.0, keyframe_thresh=0.0,
+                       frontend_window=8, max_edges=96,
+                       max_inactive=64, segm_filter=filter_on,
+                       thresh=0.12, pipeline=False)
+        sysm = VOSystem(cfg)
+        for t in range(N):
+            dy0, dx0 = (2 * t) % H, (3 * t) % W
+            img = base[dy0:dy0 + H, dx0:dx0 + W]
+            sysm.track(t, img, intr, segments=segm_map)
+        sysm.frontend.flush()
+        est = jnp.asarray(sysm.get_traj())
+        k = est.shape[0]
+        est_xyz = np.asarray(se3.inv(est))[:, :3]
+        gt_xyz = np.asarray(se3.inv(gt_poses[:k]))[:, :3]
+        return ate_rmse(est_xyz, gt_xyz)
+
+    try:
+        ate_on = run(True)
+        fg._fused_step.clear_cache()
+        ate_off = run(False)
+    finally:
+        fg._fused_step.clear_cache()
+
+    assert np.isfinite(ate_on) and np.isfinite(ate_off)
+    # segm_filter ON must beat OFF by a real margin
+    assert ate_on < 0.02, ate_on
+    assert ate_off > 1.8 * ate_on, (ate_off, ate_on)
