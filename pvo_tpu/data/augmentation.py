@@ -38,9 +38,12 @@ def color_jitter(images, rng, brightness=0.25, contrast=0.25,
 
 
 def resize_crop(images, depths, intrinsics, crop_size, rng,
-                scale_jitter=True, segments=None):
+                scale_jitter=True, segments=None, masks=None):
     """Random log-uniform up-scale then random crop, adjusting
-    intrinsics (reference augmentation.py:57-139)."""
+    intrinsics (reference augmentation.py:57-139). ``masks``:
+    optional (F, H, W, C) per-pixel labels (gt dynamic masks +
+    validity, reference base.py:189-218) — resized NEAREST and
+    cropped like depth, returned at full crop resolution."""
     F, H, W = images.shape[:3]
     ch, cw = crop_size
 
@@ -78,12 +81,19 @@ def resize_crop(images, depths, intrinsics, crop_size, rng,
         # 1/8 resolution for the network (augmentation.py:136-138)
         out_seg = segs[:, 3::8, 3::8].astype(np.int32)
 
-    return imgs, deps, intr, out_seg
+    out_masks = None
+    if masks is not None:
+        out_masks = np.stack([cv2.resize(
+            m.astype(np.float32), (nW, nH),
+            interpolation=cv2.INTER_NEAREST) for m in masks])
+        out_masks = out_masks[:, y0:y0 + ch, x0:x0 + cw]
+
+    return imgs, deps, intr, out_seg, out_masks
 
 
 def augment_clip(images, depths, intrinsics, crop_size, rng,
-                 segments=None, do_jitter=True):
+                 segments=None, masks=None, do_jitter=True):
     if do_jitter and rng.random() < 0.5:
         images = color_jitter(images, rng)
     return resize_crop(images, depths, intrinsics, crop_size, rng,
-                       segments=segments)
+                       segments=segments, masks=masks)

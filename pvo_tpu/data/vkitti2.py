@@ -166,6 +166,21 @@ class VKitti2Dataset:
             segments = [self._read_segment(info["segments"][i])
                         for i in inds]
 
+        # GT dynamic masks + validity for sup/semisup (reference
+        # base.py:164-218: dymask_read -> (mask, val) stacked, riding
+        # the augmentor like depth; generated by
+        # scripts/prepare_vkitti.py --dynamic_masks). Missing files
+        # degrade to all-static/all-valid, matching the behavior on
+        # scenes without dymask labels.
+        masks = None
+        if self.mode in ("sup", "semisup"):
+            dm = info.get("dymasks") or []
+            if len(dm) >= F:
+                masks = np.stack([np.load(dm[i]) for i in inds]
+                                 ).astype(np.float32)
+            else:
+                masks = np.ones(images.shape[:3] + (2,), np.float32)
+
         flows = None
         if self.flow_label and info.get("fo_flows"):
             flows = {}
@@ -180,9 +195,10 @@ class VKitti2Dataset:
                     vl.append(v)
                 flows[key_] = (np.stack(fl), np.stack(vl))
 
-        images, depths, intr, segs8 = augmentation.augment_clip(
-            images, depths, intr, self.crop_size, self.rng,
-            segments=segments)
+        images, depths, intr, segs8, masks_c = \
+            augmentation.augment_clip(
+                images, depths, intr, self.crop_size, self.rng,
+                segments=segments, masks=masks)
 
         disps = 1.0 / np.maximum(depths, 1e-3)
         # normalize mean disparity to 1 and rescale translations
@@ -202,10 +218,17 @@ class VKitti2Dataset:
             "intrinsics_up": intr[None].repeat(N, 0).reshape(
                 1, N, 4).astype(np.float32),
         }
-        ident = np.zeros((1, N, 7), np.float32)
-        ident[..., 6] = 1.0
-        out["poses_init"] = ident
+        # reference init (train.py:143-146): frame 0 gets GT pose 0,
+        # frames 1..N-1 all get GT pose 1 (the solver recovers the
+        # rest); was identity in earlier rounds — a fidelity gap
+        init = np.empty((1, N, 7), np.float32)
+        init[0, 0] = poses[0]
+        init[0, 1:] = poses[1]
+        out["poses_init"] = init
         out["disps_gt_up"] = disps[None].astype(np.float32)
+        if masks_c is not None:
+            out["gt_masks"] = masks_c[None, ..., 0].astype(np.float32)
+            out["gt_vals"] = masks_c[None, ..., 1].astype(np.float32)
         if segs8 is not None:
             out["segments"] = segs8[None]
         if flows is not None:

@@ -50,7 +50,8 @@ def make_optimizer(lr=5e-4, total_steps=20000, clip=2.5,
 
 
 def vo_loss_fn(model: DroidNet, params, batch, ii, jj, num_steps,
-               weights: Dict[str, float], mode="sup", ph_loss=True):
+               weights: Dict[str, float], mode="sup", ph_loss=True,
+               ret_est=False, remat=False):
     """Per-sample loss with the reference's mode dispatch
     (train.py:178-261): sup = geodesic + cam-flow + gt-label (+photo);
     semisup = cam-photometric + gt-label (+photo); unsup =
@@ -59,7 +60,8 @@ def vo_loss_fn(model: DroidNet, params, batch, ii, jj, num_steps,
     out = model.apply(
         params, batch["poses_init"], batch["images"],
         batch["disps_init"], batch["intrinsics"], ii, jj,
-        num_steps=num_steps, ret_flow=ph_loss, downsample=True)
+        num_steps=num_steps, ret_flow=ph_loss, downsample=True,
+        remat=remat)
 
     w = lambda k, d: weights.get(k, d)
     res, _ = losses.residual_loss(out["residuals"])
@@ -123,6 +125,14 @@ def vo_loss_fn(model: DroidNet, params, batch, ii, jj, num_steps,
         total += w("w4", 5.0) * ph
         metrics.update({"ph": ph, **phm})
 
+    if ret_est:
+        # last pose/disp estimates for the reference's random-restart
+        # carry (train.py:264-265: Gs = poses_est[-1].detach(),
+        # disp0 = disps_est[-1][:, :, 3::8, 3::8].detach())
+        est = (jax.lax.stop_gradient(out["poses"][-1]),
+               jax.lax.stop_gradient(
+                   out["disps_up"][-1][:, :, 3::8, 3::8]))
+        return total, (metrics, est)
     return total, metrics
 
 
@@ -166,6 +176,55 @@ def make_train_step(model: DroidNet, tx, ii, jj, num_steps=8,
             {"loss": loss, **metrics}
 
     return step
+
+
+def make_restart_step(model: DroidNet, tx, ii, jj, num_steps=8,
+                      weights=None, mode="sup", ph_loss=True,
+                      remat=False):
+    """Faithful reference restart semantics (train.py:150-265): each
+    restart pass re-runs the model from the LAST pose/disp estimates
+    and its loss gradient ACCUMULATES; clip + optimizer step apply
+    once per outer step (reference: loss.backward() inside the while,
+    optimizer.step() after it).
+
+    Returns (pass_fn, apply_fn, acc_fn):
+      pass_fn(params, batch, poses_init, disps_init) ->
+        (loss, metrics, grads, (poses_last, disps8_last))
+      acc_fn(acc_grads, grads) -> summed grads pytree
+      apply_fn(state, grads) -> new TrainState
+    """
+    weights = weights or {}
+    ii = np.asarray(ii)
+    jj = np.asarray(jj)
+
+    def single(params, sample, pi, di):
+        s = {**sample, "poses_init": pi, "disps_init": di}
+        return vo_loss_fn(model, params, s, ii, jj, num_steps,
+                          weights, mode=mode, ph_loss=ph_loss,
+                          ret_est=True, remat=remat)
+
+    def pass_fn(params, batch, poses_init, disps_init):
+        def batch_loss(p):
+            loss, (metrics, est) = jax.vmap(
+                functools.partial(single, p))(batch, poses_init,
+                                              disps_init)
+            return jnp.mean(loss), (jax.tree.map(jnp.mean, metrics),
+                                    est)
+
+        (loss, (metrics, est)), grads = jax.value_and_grad(
+            batch_loss, has_aux=True)(params)
+        return loss, metrics, grads, est
+
+    def acc_fn(acc, grads):
+        return jax.tree.map(jnp.add, acc, grads)
+
+    def apply_fn(state: TrainState, grads):
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1)
+
+    return pass_fn, apply_fn, acc_fn
 
 
 def shard_batch(batch, mesh: Mesh, axis="data"):

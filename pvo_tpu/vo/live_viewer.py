@@ -54,7 +54,8 @@ const locP=gl.getAttribLocation(pr,'p');
 const locC=gl.getAttribLocation(pr,'col');
 const locM=gl.getUniformLocation(pr,'mvp');
 const bufP=gl.createBuffer(),bufC=gl.createBuffer();
-let n=0,az=0.5,el=0.3,dist=8,cx=0,cy=0,cz=0;
+const bufLP=gl.createBuffer(),bufLC=gl.createBuffer();
+let n=0,nl=0,az=0.5,el=0.3,dist=8,cx=0,cy=0,cz=0;
 let drag=false,lx=0,ly=0;
 cv.onmousedown=e=>{drag=true;lx=e.clientX;ly=e.clientY;};
 window.onmouseup=()=>drag=false;
@@ -80,10 +81,18 @@ function mat(){
  for(let i=0;i<4;i++)for(let j=0;j<4;j++){let s=0;
   for(let k=0;k<4;k++)s+=P[k*4+j]*V[i*4+k];M[i*4+j]=s;}
  return M;}
+function bind(bp,bc){
+ gl.bindBuffer(gl.ARRAY_BUFFER,bp);
+ gl.enableVertexAttribArray(locP);
+ gl.vertexAttribPointer(locP,3,gl.FLOAT,false,0,0);
+ gl.bindBuffer(gl.ARRAY_BUFFER,bc);
+ gl.enableVertexAttribArray(locC);
+ gl.vertexAttribPointer(locC,3,gl.FLOAT,false,0,0);}
 function draw(){
  gl.clearColor(0.07,0.07,0.07,1);gl.clear(gl.COLOR_BUFFER_BIT);
  gl.uniformMatrix4fv(locM,false,mat());
- if(n){gl.drawArrays(gl.POINTS,0,n);}
+ if(n){bind(bufP,bufC);gl.drawArrays(gl.POINTS,0,n);}
+ if(nl){bind(bufLP,bufLC);gl.drawArrays(gl.LINES,0,nl);}
  requestAnimationFrame(draw);}
 async function poll(){
  try{
@@ -96,14 +105,26 @@ async function poll(){
    cx=sx/n;cy=sy/n;cz=sz/n;}
   gl.bindBuffer(gl.ARRAY_BUFFER,bufP);
   gl.bufferData(gl.ARRAY_BUFFER,pts,gl.DYNAMIC_DRAW);
-  gl.enableVertexAttribArray(locP);
-  gl.vertexAttribPointer(locP,3,gl.FLOAT,false,0,0);
   gl.bindBuffer(gl.ARRAY_BUFFER,bufC);
   gl.bufferData(gl.ARRAY_BUFFER,col,gl.DYNAMIC_DRAW);
-  gl.enableVertexAttribArray(locC);
-  gl.vertexAttribPointer(locC,3,gl.FLOAT,false,0,0);
+  // trajectory (green polyline) + camera frusta (yellow), the
+  // reference viewer's camera actors
+  const lp=[],lc=[];
+  const tr=s.trajectory||[];
+  for(let i=0;i+1<tr.length;i++){
+   lp.push(...tr[i],...tr[i+1]);
+   lc.push(0.2,0.9,0.3, 0.2,0.9,0.3);}
+  for(const seg of (s.frusta||[])){
+   lp.push(...seg[0],...seg[1]);
+   lc.push(0.95,0.8,0.2, 0.95,0.8,0.2);}
+  nl=lp.length/3;
+  gl.bindBuffer(gl.ARRAY_BUFFER,bufLP);
+  gl.bufferData(gl.ARRAY_BUFFER,new Float32Array(lp),gl.DYNAMIC_DRAW);
+  gl.bindBuffer(gl.ARRAY_BUFFER,bufLC);
+  gl.bufferData(gl.ARRAY_BUFFER,new Float32Array(lc),gl.DYNAMIC_DRAW);
+  const stale=s.stale?' [engaged: view is stale until next refresh]':'';
   document.getElementById('hud').textContent=
-   `pvo_tpu live — kf ${s.counter}, ${n} pts`;
+   `pvo_tpu live — kf ${s.counter}, ${n} pts${stale}`;
  }catch(e){}
  setTimeout(poll,1000);}
 poll();draw();
@@ -177,7 +198,15 @@ class LiveViewer:
             target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
 
-    def update(self):
+    def mark_stale(self, stale=True):
+        """Flag the snapshot as stale (planner engaged: refreshes
+        would stall the device pipeline, so the stream freezes until
+        the next disengage — surfaced in the HUD per the round-4
+        advisor finding)."""
+        with self._lock:
+            self._state = {**self._state, "stale": bool(stale)}
+
+    def update(self, stale=False):
         """Refresh the snapshot from the video buffers (one readback)."""
         from pvo_tpu.lie import se3
         from pvo_tpu.vo.visualization import filtered_pointcloud
@@ -201,6 +230,7 @@ class LiveViewer:
                 "colors": cols.astype(int).tolist(),
                 "trajectory": np.round(traj, 4).tolist(),
                 "frusta": _frustum_lines(mats[-8:]),
+                "stale": bool(stale),
             }
 
     def close(self):

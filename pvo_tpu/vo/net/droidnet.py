@@ -72,7 +72,7 @@ class DroidNet(nn.Module):
 
     def __call__(self, poses, images, disps, intrinsics, ii, jj,
                  num_steps=12, fixedp=2, ret_flow=False,
-                 downsample=False):
+                 downsample=False, remat=False):
         """Training forward.
 
         Args:
@@ -81,6 +81,12 @@ class DroidNet(nn.Module):
           disps: (B, F, h, w) initial inverse depth (1/8 res).
           intrinsics: (B, F, 4) at 1/8 resolution.
           ii, jj: static numpy edge lists.
+          remat: rematerialize each recurrent iteration on backward —
+            the reference-recipe 15-iteration unroll at the 200x400
+            crop holds ~15x the per-iteration GRU/BA activations
+            otherwise (reference fidelity is unaffected: the carried
+            state is detached at iteration entry like the reference's
+            .detach() chain, so remat only trades compute for memory).
         Returns dict of per-step lists: poses, disps_up, residuals,
         masks_up, and (if ret_flow) flows.
         """
@@ -111,23 +117,20 @@ class DroidNet(nn.Module):
                                ("poses", "disps_up", "residuals",
                                 "masks_up", "flows", "aff_params")}
 
-        for _ in range(num_steps):
-            poses = jax.lax.stop_gradient(poses)
-            disps = jax.lax.stop_gradient(disps)
-            coords1 = jax.lax.stop_gradient(coords1)
-            target_cam = jax.lax.stop_gradient(target_cam)
-            delta_dy = jax.lax.stop_gradient(delta_dy)
-            raw_mask = jax.lax.stop_gradient(raw_mask)
+        kx = np.unique(ii)
 
+        def _one_step(mdl, net, poses, disps, coords1, target_cam,
+                      delta_dy, raw_mask, inp, pyramid, intrinsics):
             corr = corr_ops.lookup(pyramid, coords1[0])
 
             cam_flow = coords1 - coords0
             resd = target_cam - coords1
             motion = jnp.concatenate(
-                [cam_flow, cam_flow + delta_dy, resd, raw_mask], axis=-1)
+                [cam_flow, cam_flow + delta_dy, resd, raw_mask],
+                axis=-1)
             motion = jnp.clip(motion, -64.0, 64.0)
 
-            upd = self.update(net, inp, corr, motion[0])
+            upd = mdl.update(net, inp, corr, motion[0])
             net = upd["net"]
 
             raw_mask = raw_mask + upd["delta_mask"][None]
@@ -138,14 +141,13 @@ class DroidNet(nn.Module):
             weight = nn.sigmoid(upd["weight_logits"][None] +
                                 (1 - bin_mask) * 10.0)
 
-            eta, upmask = self.agg(net, seg_ids, num_frames)
-            kx = np.unique(ii)
+            eta, upmask = mdl.agg(net, seg_ids, num_frames)
             eta_k = eta[kx, ..., 0][None]  # (1, M, h, w)
 
             for _ in range(2):
                 poses, disps = bundle_adjust(
-                    target_cam, weight, eta_k, poses, disps, intrinsics,
-                    ii, jj, fixedp=fixedp)
+                    target_cam, weight, eta_k, poses, disps,
+                    intrinsics, ii, jj, fixedp=fixedp)
 
             coords1, valid = projective.projective_transform(
                 poses, disps, intrinsics, ii, jj)
@@ -154,10 +156,32 @@ class DroidNet(nn.Module):
             delta_dy = upd["delta_dy"][None] * (1 - bin_mask)
             target_all = coords1 + delta_dy
 
+            disps_up = cvx_upsample(disps[0, kx, :, :, None],
+                                    upmask[kx])[None, ..., 0]
+            aff = (upd["aff_params"][None] if self.use_aff_bri
+                   else jnp.zeros((1,)))
+            return (net, poses, disps, coords1, target_cam, delta_dy,
+                    raw_mask, residual, mask, disps_up, target_all,
+                    aff)
+
+        step_fn = nn.remat(_one_step) if remat else _one_step
+
+        for _ in range(num_steps):
+            poses = jax.lax.stop_gradient(poses)
+            disps = jax.lax.stop_gradient(disps)
+            coords1 = jax.lax.stop_gradient(coords1)
+            target_cam = jax.lax.stop_gradient(target_cam)
+            delta_dy = jax.lax.stop_gradient(delta_dy)
+            raw_mask = jax.lax.stop_gradient(raw_mask)
+
+            (net, poses, disps, coords1, target_cam, delta_dy,
+             raw_mask, residual, mask, disps_up, target_all,
+             aff) = step_fn(self, net, poses, disps, coords1,
+                            target_cam, delta_dy, raw_mask, inp,
+                            pyramid, intrinsics)
+
             out["poses"].append(poses)
-            out["disps_up"].append(
-                cvx_upsample(disps[0, kx, :, :, None],
-                             upmask[kx])[None, ..., 0])
+            out["disps_up"].append(disps_up)
             out["residuals"].append(residual)
             out["masks_up"].append(upsample_inter(mask))
             if ret_flow:
@@ -167,6 +191,6 @@ class DroidNet(nn.Module):
                     out["flows"].append(
                         upsample_inter((target_all - coords0) * 8.0))
             if self.use_aff_bri:
-                out["aff_params"].append(upd["aff_params"][None])
+                out["aff_params"].append(aff)
 
         return out

@@ -49,11 +49,16 @@ def init_params(modules, image_size=(48, 64), seed=0):
     motion = jnp.zeros((1, h, w, 8), jnp.float32)
     seg = jnp.zeros((1,), jnp.int32)
     ks = jax.random.split(key, 4)
+    # jit each init: flax .init otherwise executes eagerly — hundreds
+    # of individual device dispatches, which costs MINUTES through a
+    # high-latency device tunnel (one compiled program each instead)
     return {
-        "fnet": modules["fnet"].init(ks[0], img),
-        "cnet": modules["cnet"].init(ks[1], img),
-        "update": modules["update"].init(ks[2], net, inp, corr, motion),
-        "agg": modules["agg"].init(ks[3], net, seg, 1),
+        "fnet": jax.jit(modules["fnet"].init)(ks[0], img),
+        "cnet": jax.jit(modules["cnet"].init)(ks[1], img),
+        "update": jax.jit(modules["update"].init)(
+            ks[2], net, inp, corr, motion),
+        "agg": jax.jit(modules["agg"].init,
+                       static_argnums=(3,))(ks[3], net, seg, 1),
     }
 
 

@@ -72,12 +72,14 @@ def main():
 
     for i, (t, img, intr, _) in enumerate(frames):
         sysm.track(t, img, intr)
-        if viewer is not None and i % args.live_every == 0 \
-                and not sysm.planner.engaged:
-            # refresh only while the host mirrors are current; under
-            # planner mode a mid-stream readback would stall the
-            # device-resident pipeline
-            viewer.update()
+        if viewer is not None and i % args.live_every == 0:
+            if sysm.planner.engaged:
+                # under planner mode a mid-stream readback would
+                # stall the device-resident pipeline — surface the
+                # freeze in the HUD instead of refreshing
+                viewer.mark_stale()
+            else:
+                viewer.update()
 
     traj = sysm.terminate(iter(frames))
     np.savetxt("demo_traj.txt", traj)
@@ -91,6 +93,16 @@ def main():
         from pvo_tpu.vo.visualization import droid_visualization
         n = droid_visualization(sysm.video)
         print(f"wrote viz/cloud.ply ({n} points)")
+
+    if viewer is not None:
+        # the HTTP server is a daemon thread; without a hold the
+        # process would exit and the final refresh would be served
+        # for ~0 seconds (round-4 advisor finding)
+        try:
+            input("live viewer holding final state — press Enter "
+                  "to exit")
+        except EOFError:
+            pass
 
 
 if __name__ == "__main__":

@@ -70,9 +70,15 @@ def main():
     # dataset); keeping the edge list static means ONE compiled step.
     ii, jj = ring_edges(args.n_frames)
     tx = dp.make_optimizer(args.lr, args.steps, args.clip)
-    step_fn = jax.jit(dp.make_train_step(
-        model, tx, ii, jj, num_steps=args.iters, mode=args.mode),
-        donate_argnums=(0,))
+    # faithful restart semantics (reference train.py:150-265): grad
+    # passes accumulate, poses/disps carry between passes, one
+    # optimizer step per outer step
+    pass_fn, apply_fn, acc_fn = dp.make_restart_step(
+        model, tx, ii, jj, num_steps=args.iters, mode=args.mode,
+        remat=args.iters > 8)
+    pass_fn = jax.jit(pass_fn)
+    apply_fn = jax.jit(apply_fn, donate_argnums=(0,))
+    acc_fn = jax.jit(acc_fn, donate_argnums=(0,))
 
     sample = db.sample_clip()
     params = model.init(
@@ -99,12 +105,19 @@ def main():
             batch = {k: np.stack([c[k][0] for c in clips])[:, None]
                      for k in sample if k != "segments"}
             batch = dp.shard_batch(batch, mesh)
-            state, metrics = step_fn(state, batch)
-            # random restart: retrain on the same clip from the last
-            # estimate (approximated by a fresh pass; reference
-            # train.py:150-166 reuses poses_est[-1]/disps_est[-1])
-            while rng.random() < restart_prob:
-                state, metrics = step_fn(state, batch)
+            # reference restart loop (train.py:150-265): always >= 1
+            # pass; each pass restarts from the last estimates and
+            # its gradient ACCUMULATES; one optimizer step at the end
+            pi, di = batch["poses_init"], batch["disps_init"]
+            loss, metrics, grads, (pi, di) = pass_fn(
+                state.params, batch, pi, di)
+            r = rng.random()
+            while r < restart_prob:
+                r = rng.random()
+                loss, metrics, g2, (pi, di) = pass_fn(
+                    state.params, batch, pi, di)
+                grads = acc_fn(grads, g2)
+            state = apply_fn(state, grads)
             logger.push({k: float(v) for k, v in metrics.items()})
 
             if (step + 1) % args.ckpt_every == 0:

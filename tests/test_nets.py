@@ -87,3 +87,65 @@ class TestUpsample:
             xt, scale_factor=8, mode="bilinear", align_corners=True,
             recompute_scale_factor=True).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_droidnet_remat_matches_plain():
+    """remat=True (reference-recipe 15-iter memory mode) computes the
+    same function: step-0 outputs agree to float-fusion noise and the
+    1-step loss gradient agrees. NOT bit-identical — rematerialization
+    changes XLA fusion boundaries, so 1-ulp rounding differences
+    appear and the recurrent BA amplifies them across iterations
+    (later steps drift like any 1-ulp perturbation would)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pvo_tpu.parallel import data_parallel as dp
+    from pvo_tpu.vo.net.droidnet import DroidNet
+
+    model = DroidNet()
+    F = 3
+    ii, jj = dp._ring(F)
+    b = dp.make_synthetic_batch(1, F=F, H=48, W=64, seed=0)
+    s = jax.tree.map(lambda x: jnp.asarray(x[0]), b)
+    p = model.init(jax.random.PRNGKey(0), s["poses_init"],
+                   s["images"], s["disps_init"], s["intrinsics"],
+                   ii, jj, num_steps=1)
+
+    def fwd(remat, n):
+        return model.apply(p, s["poses_init"], s["images"],
+                           s["disps_init"], s["intrinsics"], ii, jj,
+                           num_steps=n, ret_flow=True,
+                           downsample=True, remat=remat)
+
+    o1, o2 = fwd(False, 1), fwd(True, 1)
+    for k in ("poses", "disps_up", "residuals", "flows"):
+        np.testing.assert_allclose(np.asarray(o1[k][0]),
+                                   np.asarray(o2[k][0]),
+                                   rtol=2e-3, atol=5e-3)
+
+    def loss(pp, remat):
+        o = model.apply(pp, s["poses_init"], s["images"],
+                        s["disps_init"], s["intrinsics"], ii, jj,
+                        num_steps=1, ret_flow=True, downsample=True,
+                        remat=remat)
+        return (sum(jnp.sum(x ** 2) for x in o["residuals"]) +
+                sum(jnp.sum(x) for x in o["disps_up"]))
+
+    g1 = jax.grad(lambda pp: loss(pp, False))(p)
+    g2 = jax.grad(lambda pp: loss(pp, True))(p)
+    gnorm = float(np.sqrt(sum(float((np.asarray(x) ** 2).sum())
+                              for x in jax.tree.leaves(g1))))
+    for a, c in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        # elementwise equality is not attainable (refusion noise
+        # through two BA solves); require direction + magnitude
+        # agreement per weight tensor, skipping leaves whose grad is
+        # noise-level (heads unused by this loss get exact-0-or-ulp
+        # grads whose direction is meaningless)
+        a = np.asarray(a, np.float64).ravel()
+        c = np.asarray(c, np.float64).ravel()
+        na, nc = np.linalg.norm(a), np.linalg.norm(c)
+        if max(na, nc) < 1e-4 * gnorm:
+            continue
+        cos = float(a @ c / max(na * nc, 1e-30))
+        assert cos > 0.99, (cos, na, nc)
+        assert 0.95 < na / max(nc, 1e-30) < 1.05, (na, nc)

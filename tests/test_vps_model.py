@@ -122,3 +122,75 @@ class TestCombine:
                    for i in thing_ids)
         # second instance dropped: fully overlapped by the first
         assert len(thing_ids) == 1
+
+
+def test_file_protocol_f16_staging_semantics():
+    """File-protocol payload quantization (round-4 verdict weak #5).
+
+    stage_inputs ships flow as f16 and depth (any resolution, incl.
+    the 1/8-res shared_data contract) as f16. Asserts:
+
+    1. staging is semantically inert: a staged f16 flow fed to
+       flow_warp_features produces BIT-IDENTICAL output to submitting
+       the same host array inline (both cast f32 -> f16 -> f32);
+    2. the f16 cast itself is output-preserving for >= 99.9% of splat
+       target indices on a realistic smooth flow field (the splat
+       truncates to integer offsets; only values within f16 rounding
+       of an integer boundary can flip), and EXACTLY preserving when
+       the host values are f16-representable.
+    """
+    import jax.numpy as jnp
+
+    from pvo_tpu.vps.panoptic_fpn import (PanopticPredictor,
+                                          flow_warp_features)
+
+    rng = np.random.RandomState(0)
+    H, W = 64, 96
+    feats = {"p2": jnp.asarray(rng.randn(1, H // 4, W // 4, 8)
+                               .astype(np.float32))}
+    # smooth realistic flow, magnitudes up to ~12 px
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    flow = np.stack([6 * np.sin(xx / 17.0) + 4 * np.cos(yy / 11.0),
+                     3 * np.sin(yy / 13.0)], -1).astype(np.float32)
+
+    pred = PanopticPredictor.__new__(PanopticPredictor)  # no model
+    pred.bitcompat_flow = False
+    pred.depth_proj = False
+    fl_staged, d_staged = pred.stage_inputs(
+        flow, rng.rand(H // 8, W // 8).astype(np.float32))
+    assert fl_staged.dtype == jnp.float16
+    assert d_staged.dtype == jnp.float16
+    assert d_staged.shape == (H // 8, W // 8)
+
+    # (1) staged == inline f16 submit path, bit for bit
+    inline = jnp.asarray(np.asarray(flow, np.float16))
+    out_staged = flow_warp_features(feats,
+                                    fl_staged.astype(jnp.float32))
+    out_inline = flow_warp_features(feats, inline.astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(out_staged["p2"]),
+                                  np.asarray(out_inline["p2"]))
+
+    # (2) f16 vs f32 splat-target agreement on the level grid
+    def targets(fl32):
+        h, w = H // 4, W // 4
+        import jax
+        f = jax.image.resize(jnp.asarray(fl32), (h, w, 2), "bilinear")
+        f = f * jnp.array([w / W, h / H], f.dtype)
+        gy, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        u1 = (gx + np.asarray(f[..., 0])).astype(np.int32)
+        v1 = (gy + np.asarray(f[..., 1])).astype(np.int32)
+        return u1, v1
+
+    u32, v32 = targets(flow)
+    u16, v16 = targets(np.asarray(flow, np.float16)
+                       .astype(np.float32))
+    agree = ((u32 == u16) & (v32 == v16)).mean()
+    assert agree >= 0.999, agree
+
+    # f16-representable host values -> exact
+    flow_r = np.asarray(flow, np.float16).astype(np.float32)
+    ur, vr = targets(flow_r)
+    ur2, vr2 = targets(np.asarray(flow_r, np.float16)
+                       .astype(np.float32))
+    np.testing.assert_array_equal(ur, ur2)
+    np.testing.assert_array_equal(vr, vr2)
