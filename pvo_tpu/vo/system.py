@@ -8,6 +8,7 @@ shared DepthVideo, loads converted weights, and exposes
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -27,7 +28,19 @@ from pvo_tpu.vo.trajectory_filler import TrajectoryFiller
 from pvo_tpu.vo.video import DepthVideo
 
 
+@functools.lru_cache(maxsize=2)
 def make_modules(use_aff_bri=False):
+    """Process-wide singleton module set.
+
+    Flax modules are stateless, but they hash by IDENTITY — and the
+    bound ``.apply`` methods are STATIC arguments of every jitted
+    program in the system (motion filter, fused step, planner,
+    filler). Fresh modules per VOSystem therefore missed every jit
+    cache and re-traced the whole program family per instance: ~15 s
+    of host tracing per system on this 1-core box, which dominated
+    the measured warm terminate (profile_terminate round 5:
+    frontend_last_update 18.2 s, traj_filler 25.5 s of a 60 s run —
+    almost all of it repeated tracing, the device work is ~2 s)."""
     return {
         "fnet": BasicEncoder(output_dim=128, norm_fn="instance"),
         "cnet": BasicEncoder(output_dim=256, norm_fn="none"),
@@ -82,9 +95,13 @@ class VOSystem:
         # stays fp32
         if self.cfg.dtype_features == "bfloat16" and \
                 jax.default_backend() != "cpu":
-            cast = lambda t: jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16) if
-                hasattr(x, "astype") else x, t)
+            # ONE jitted program for the whole cast: the eager
+            # tree.map dispatched ~100 individual astype ops, each
+            # paying a relay round-trip (minutes of per-process setup
+            # when the tunnel latency spikes)
+            cast = jax.jit(lambda t: jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t))
             graph_params = {"update": cast(params["update"]),
                             "agg": cast(params["agg"])}
         else:

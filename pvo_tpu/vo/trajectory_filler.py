@@ -52,6 +52,17 @@ def _stage_frames(poses, disps, fmaps, intrinsics, gmaps, t0, t1,
     return poses, disps, fmaps, intrinsics
 
 
+@functools.lru_cache(maxsize=8)
+def _feat_fn(fnet_apply):
+    """Process-wide jitted batched fnet encode. Keyed on the flax
+    bound-method (modules hash by structure, so every VOSystem
+    instance hits the same trace) — a per-instance jax.jit here cost
+    a full retrace per system, ~10 s of the measured warm terminate
+    (scripts/bench_filler.py round 5: filler wall 17.6 s first call
+    in a process, 1.7 s warm)."""
+    return jax.jit(lambda p, x: fnet_apply(p, normalize_images(x)))
+
+
 class TrajectoryFiller:
     def __init__(self, video, modules, params, batch=16):
         self.video = video
@@ -59,16 +70,11 @@ class TrajectoryFiller:
         self.params = params
         self.batch = batch
         self._graph = None
-        self._feat = None
 
     def _features_batch(self, filterx, images_u8):
         """Batched fnet encode: one dispatch for the whole batch."""
-        if self._feat is None:
-            fnet_apply = filterx.fnet_apply
-            fnet_params = filterx.params["fnet"]
-            self._feat = jax.jit(lambda x: fnet_apply(
-                fnet_params, normalize_images(x)))
-        return self._feat(jnp.asarray(images_u8))
+        return _feat_fn(filterx.fnet_apply)(
+            filterx.params["fnet"], jnp.asarray(images_u8))
 
     def _fill_submit(self, tstamps, images, intrinsics, filterx):
         v = self.video

@@ -82,13 +82,18 @@ def main():
         np.asarray(disps_up[0, 0, 3::8, 3::8])
     warm = (time.perf_counter() - t0) / n
 
-    print(json.dumps({
+    out = {
         "metric": "vo2_export_seconds_per_pair",
         "value": round(warm, 3),
         "unit": "s/pair @376x1248, 15 iters, incl. per-pair readback"
                 " (cold %.1f s incl. compile)" % cold,
-        "vs_baseline": None,
-    }))
+        # normalized against this bench's own round-1 measurement
+        # (~15 s/pair pre-x-tiling); > 1 means faster than round 1
+        "vs_baseline": round(15.0 / warm, 3),
+    }
+    print(json.dumps(out))
+    with open("BENCH_VO2.json", "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
