@@ -61,10 +61,14 @@ class DroidNet(nn.Module):
         self.update = DynamicUpdateModule(self.use_aff_bri)
         self.agg = GraphAgg()
 
-    def extract_features(self, images):
+    def extract_features(self, images, dtype=None):
         """images: (B, F, H, W, 3) uint8 RGB. Returns fmaps, net, inp
-        at 1/8 resolution, each (B, F, h, w, 128)."""
+        at 1/8 resolution, each (B, F, h, w, 128). ``dtype`` casts the
+        normalized input so bf16 param trees actually compute on the
+        MXU in bf16 (flax promotion would silently upcast to f32)."""
         x = normalize_images(images)
+        if dtype is not None:
+            x = x.astype(dtype)
         fmaps = self.fnet(x)
         ctx = self.cnet(x)
         net, inp = jnp.split(ctx, 2, axis=-1)
@@ -72,7 +76,8 @@ class DroidNet(nn.Module):
 
     def __call__(self, poses, images, disps, intrinsics, ii, jj,
                  num_steps=12, fixedp=2, ret_flow=False,
-                 downsample=False, remat=False):
+                 downsample=False, remat=False, final_only=False,
+                 corr_impl="xla", compute_dtype=None):
         """Training forward.
 
         Args:
@@ -87,6 +92,22 @@ class DroidNet(nn.Module):
             otherwise (reference fidelity is unaffected: the carried
             state is detached at iteration entry like the reference's
             .detach() chain, so remat only trades compute for memory).
+          final_only: INFERENCE shortcut — compute the full-res
+            upsampled outputs (disps_up/masks_up/flows) only for the
+            LAST iteration. Exactly equivalent for those outputs: the
+            upsamples are pure functions of per-iteration state with
+            no feedback into the recurrence, so skipping the first
+            num_steps-1 of them changes nothing the export reads
+            (the reference test_vo2.py:109-115 keeps only [-1] too,
+            it just pays for all 15 on GPU).
+          corr_impl: "xla" (gather lookup, differentiable — training
+            default) or "pallas" (fused kernel on pre-built volumes;
+            inference-only, no VJP; values bf16-volume-rounded like
+            the reference's fp16 CorrBlock; silently falls back to
+            XLA when the geometry exceeds the kernel's VMEM gate).
+          compute_dtype: cast encoder/update-op inputs to this dtype
+            (pass jnp.bfloat16 with a bf16-cast param tree to mirror
+            the reference's fp16 autocast; BA/geometry stays f32).
         Returns dict of per-step lists: poses, disps_up, residuals,
         masks_up, and (if ret_flow) flows.
         """
@@ -95,12 +116,45 @@ class DroidNet(nn.Module):
         B, F = images.shape[:2]
         assert B == 1, "training forward is per-sample; vmap over batch"
 
-        fmaps, net_all, inp_all = self.extract_features(images)
+        fmaps, net_all, inp_all = self.extract_features(
+            images, dtype=compute_dtype)
         h, w = fmaps.shape[2:4]
 
         net = net_all[0, ii]
         inp = inp_all[0, ii]
-        pyramid = corr_ops.build_pyramid(fmaps[0, ii], fmaps[0, jj])
+
+        use_pallas = False
+        if corr_impl == "pallas":
+            from pvo_tpu.vo.factor_graph import _use_pallas_corr
+            use_pallas = _use_pallas_corr(h, w)
+        if use_pallas:
+            from pvo_tpu.vo.net.pallas_corr import (
+                corr_level_shapes, pallas_build_volumes,
+                pallas_corr_extract, pallas_corr_lookup)
+            vshapes = corr_level_shapes(h, w)
+            if all(n_t == 1 and m_t == 1
+                   for (_, _, n_t, m_t) in vshapes):
+                # narrow geometry: volumes built once, extracted per
+                # iteration (the planner's cache)
+                vols = pallas_build_volumes(fmaps[0, ii],
+                                            fmaps[0, jj])
+
+                def corr_fn(c):
+                    return pallas_corr_extract(vols, vshapes, c)
+            else:
+                # wide geometry (x-tiled): the fused kernel recomputes
+                # the all-pairs dot per call — still far cheaper than
+                # the XLA gather path at these shapes
+                f1e, f2e = fmaps[0, ii], fmaps[0, jj]
+
+                def corr_fn(c):
+                    return pallas_corr_lookup(f1e, f2e, c)
+        else:
+            pyramid = corr_ops.build_pyramid(fmaps[0, ii],
+                                             fmaps[0, jj])
+
+            def corr_fn(c):
+                return corr_ops.lookup(pyramid, c)
 
         coords0 = projective.coords_grid(h, w)
         coords1, _ = projective.projective_transform(
@@ -120,8 +174,8 @@ class DroidNet(nn.Module):
         kx = np.unique(ii)
 
         def _one_step(mdl, net, poses, disps, coords1, target_cam,
-                      delta_dy, raw_mask, inp, pyramid, intrinsics):
-            corr = corr_ops.lookup(pyramid, coords1[0])
+                      delta_dy, raw_mask, inp, intrinsics, want_up):
+            corr = corr_fn(coords1[0])
 
             cam_flow = coords1 - coords0
             resd = target_cam - coords1
@@ -130,19 +184,24 @@ class DroidNet(nn.Module):
                 axis=-1)
             motion = jnp.clip(motion, -64.0, 64.0)
 
-            upd = mdl.update(net, inp, corr, motion[0])
+            # compute dtype follows inp (bf16 when compute_dtype set);
+            # everything the BA consumes is cast back to f32
+            upd = mdl.update(net, inp, corr.astype(inp.dtype),
+                             motion[0].astype(inp.dtype))
             net = upd["net"]
 
             raw_mask = raw_mask + upd["delta_mask"][None]
             mask = nn.sigmoid(raw_mask)
             bin_mask = (mask >= DY_THRESH).astype(mask.dtype)
 
-            target_cam = coords1 + upd["delta"][None]
-            weight = nn.sigmoid(upd["weight_logits"][None] +
-                                (1 - bin_mask) * 10.0)
+            target_cam = coords1 + upd["delta"][None].astype(
+                jnp.float32)
+            weight = nn.sigmoid(
+                upd["weight_logits"][None].astype(jnp.float32) +
+                (1 - bin_mask) * 10.0)
 
             eta, upmask = mdl.agg(net, seg_ids, num_frames)
-            eta_k = eta[kx, ..., 0][None]  # (1, M, h, w)
+            eta_k = eta[kx, ..., 0][None].astype(jnp.float32)
 
             for _ in range(2):
                 poses, disps = bundle_adjust(
@@ -153,20 +212,25 @@ class DroidNet(nn.Module):
                 poses, disps, intrinsics, ii, jj)
             residual = (target_cam - coords1) * valid
 
-            delta_dy = upd["delta_dy"][None] * (1 - bin_mask)
+            delta_dy = upd["delta_dy"][None].astype(jnp.float32) * \
+                (1 - bin_mask)
             target_all = coords1 + delta_dy
 
-            disps_up = cvx_upsample(disps[0, kx, :, :, None],
-                                    upmask[kx])[None, ..., 0]
+            disps_up = (cvx_upsample(
+                disps[0, kx, :, :, None],
+                upmask[kx].astype(jnp.float32))[None, ..., 0]
+                if want_up else None)
+
             aff = (upd["aff_params"][None] if self.use_aff_bri
                    else jnp.zeros((1,)))
             return (net, poses, disps, coords1, target_cam, delta_dy,
                     raw_mask, residual, mask, disps_up, target_all,
                     aff)
 
-        step_fn = nn.remat(_one_step) if remat else _one_step
+        step_fn = (nn.remat(_one_step, static_argnums=(10,))
+                   if remat else _one_step)
 
-        for _ in range(num_steps):
+        for it in range(num_steps):
             poses = jax.lax.stop_gradient(poses)
             disps = jax.lax.stop_gradient(disps)
             coords1 = jax.lax.stop_gradient(coords1)
@@ -174,22 +238,24 @@ class DroidNet(nn.Module):
             delta_dy = jax.lax.stop_gradient(delta_dy)
             raw_mask = jax.lax.stop_gradient(raw_mask)
 
+            want_up = (not final_only) or (it == num_steps - 1)
             (net, poses, disps, coords1, target_cam, delta_dy,
              raw_mask, residual, mask, disps_up, target_all,
              aff) = step_fn(self, net, poses, disps, coords1,
                             target_cam, delta_dy, raw_mask, inp,
-                            pyramid, intrinsics)
+                            intrinsics, want_up)
 
             out["poses"].append(poses)
-            out["disps_up"].append(disps_up)
             out["residuals"].append(residual)
-            out["masks_up"].append(upsample_inter(mask))
-            if ret_flow:
-                if downsample:
-                    out["flows"].append(target_all - coords0)
-                else:
-                    out["flows"].append(
-                        upsample_inter((target_all - coords0) * 8.0))
+            if want_up:
+                out["disps_up"].append(disps_up)
+                out["masks_up"].append(upsample_inter(mask))
+                if ret_flow:
+                    if downsample:
+                        out["flows"].append(target_all - coords0)
+                    else:
+                        out["flows"].append(upsample_inter(
+                            (target_all - coords0) * 8.0))
             if self.use_aff_bri:
                 out["aff_params"].append(aff)
 

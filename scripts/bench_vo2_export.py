@@ -47,7 +47,8 @@ def main():
     def fwd(params, p2, imgs, disps, intr8):
         out = model.apply(params, p2, imgs, disps, intr8, ii, jj,
                           num_steps=iters, ret_flow=True,
-                          downsample=True)
+                          downsample=True, final_only=True,
+                          corr_impl="pallas")
         return out["flows"][-1], out["disps_up"][-1]
 
     jfwd = jax.jit(fwd)

@@ -149,3 +149,43 @@ def test_droidnet_remat_matches_plain():
         cos = float(a @ c / max(na * nc, 1e-30))
         assert cos > 0.99, (cos, na, nc)
         assert 0.95 < na / max(nc, 1e-30) < 1.05, (na, nc)
+
+
+def test_droidnet_final_only_matches_full():
+    """final_only=True (inference shortcut used by the vo2 export,
+    scripts/test_vo2.py) returns BIT-identical last-iteration
+    disps_up/masks_up/flows: the skipped upsamples have no feedback
+    into the recurrence, so the traced program for the kept outputs
+    is the same graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from pvo_tpu.parallel import data_parallel as dp
+    from pvo_tpu.vo.net.droidnet import DroidNet
+
+    model = DroidNet()
+    F = 3
+    ii, jj = dp._ring(F)
+    b = dp.make_synthetic_batch(1, F=F, H=48, W=64, seed=1)
+    s = jax.tree.map(lambda x: jnp.asarray(x[0]), b)
+    p = model.init(jax.random.PRNGKey(0), s["poses_init"],
+                   s["images"], s["disps_init"], s["intrinsics"],
+                   ii, jj, num_steps=1)
+
+    def fwd(final_only):
+        return model.apply(p, s["poses_init"], s["images"],
+                           s["disps_init"], s["intrinsics"], ii, jj,
+                           num_steps=3, ret_flow=True,
+                           downsample=True, final_only=final_only)
+
+    full, last = jax.jit(lambda: fwd(False))(), \
+        jax.jit(lambda: fwd(True))()
+    assert len(last["disps_up"]) == 1 and len(full["disps_up"]) == 3
+    for k in ("disps_up", "masks_up", "flows"):
+        np.testing.assert_array_equal(np.asarray(full[k][-1]),
+                                      np.asarray(last[k][-1]))
+    # the recurrence itself is untouched
+    for k in ("poses", "residuals"):
+        assert len(last[k]) == 3
+        np.testing.assert_array_equal(np.asarray(full[k][-1]),
+                                      np.asarray(last[k][-1]))
