@@ -150,36 +150,35 @@ def flow_loss(fo_flows, ba_flows, full_flows, gamma=GAMMA):
 # ---------------- photometric ----------------
 
 
-def _gaussian_kernel(size=3, sigma=1.5):
-    ax = np.arange(size) - (size - 1) / 2.0
-    g = np.exp(-(ax ** 2) / (2 * sigma ** 2))
-    k = np.outer(g, g)
-    return jnp.asarray(k / k.sum(), jnp.float32)
+def _avg3_reflect(x):
+    """3x3 average pool, stride 1, reflection-padded (the reference
+    SSIM module's AvgPool2d(3,1) after ReflectionPad2d(1))."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    s = jax.lax.reduce_window(
+        xp, jnp.zeros((), x.dtype), jax.lax.add,
+        (1, 3, 3, 1), (1, 1, 1, 1), "VALID")
+    return s * jnp.asarray(1.0 / 9.0, x.dtype)
 
 
-def _filter2d(x, k):
-    """Depthwise 2D filter on (B, H, W, C)."""
-    C = x.shape[-1]
-    kern = jnp.tile(k[:, :, None, None], (1, 1, 1, C))
-    return jax.lax.conv_general_dilated(
-        x, kern, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=C)
-
-
-def ssim(x, y, max_val=1.0, size=3, sigma=1.5):
-    """SSIM map (reference SSIM module, losses.py:365-398)."""
-    k = _gaussian_kernel(size, sigma)
-    c1 = (0.01 * max_val) ** 2
-    c2 = (0.03 * max_val) ** 2
-    mx = _filter2d(x, k)
-    my = _filter2d(y, k)
-    mxx = _filter2d(x * x, k) - mx * mx
-    myy = _filter2d(y * y, k) - my * my
-    mxy = _filter2d(x * y, k) - mx * my
+def ssim_loss(x, y):
+    """clamp((1 - SSIM)/2, 0, 1) map — EXACT reference semantics
+    (reference SSIM module, losses.py:365-398: 3x3 avg pooling with
+    reflection padding, and the loss is CLAMPED to [0, 1]; without the
+    clamp, near-zero-variance regions where num/den drifts past 1
+    drive the photometric term negative — observed as oscillating
+    negative cam_ph on synthetic scenes)."""
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
+    mx = _avg3_reflect(x)
+    my = _avg3_reflect(y)
+    mxx = _avg3_reflect(x * x) - mx * mx
+    myy = _avg3_reflect(y * y) - my * my
+    mxy = _avg3_reflect(x * y) - mx * my
     num = (2 * mx * my + c1) * (2 * mxy + c2)
     den = (mx * mx + my * my + c1) * (mxx + myy + c2)
-    return num / den
+    return jnp.clip((1.0 - num / den) / 2.0, 0.0, 1.0)
+
+
 
 
 def bilinear_sample(img, coords, pad_mode="zeros"):
@@ -222,8 +221,7 @@ def _reprojection_error(img0, warped, use_ssim):
     l1 = jnp.abs(warped - img0)
     if not use_ssim:
         return l1
-    s = ssim(warped, img0)
-    return 0.85 * (1 - s) / 2 + 0.15 * l1
+    return 0.85 * ssim_loss(warped, img0) + 0.15 * l1
 
 
 def photo_loss_full(images, full_flows, vals, ii, jj, gamma=GAMMA,
@@ -373,9 +371,10 @@ def photo_loss(images_pairs, full_flows, use_ssim=True, gamma=GAMMA,
             coords.reshape(B * N, H, W, 2)).reshape(I_src.shape)
         err = jnp.abs(warped - I_src)
         if use_ssim:
-            s = ssim(warped.reshape(B * N, H, W, C),
-                     I_src.reshape(B * N, H, W, C)).reshape(I_src.shape)
-            err = 0.85 * (1 - s) / 2 + 0.15 * err
+            s_l = ssim_loss(
+                warped.reshape(B * N, H, W, C),
+                I_src.reshape(B * N, H, W, C)).reshape(I_src.shape)
+            err = 0.85 * s_l + 0.15 * err
         if occ_masks is not None:
             err = err * occ_masks[..., None]
         total += w * jnp.mean(err)

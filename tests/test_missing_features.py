@@ -149,3 +149,45 @@ def test_flow_warp_bitcompat_positive_flow_unscaled():
     np.testing.assert_allclose(out_bc[0, 1:], feat[0, :-1], rtol=1e-5)
     np.testing.assert_array_equal(out_bc[0, 0],
                                   np.zeros_like(out_bc[0, 0]))
+
+
+def test_ssim_loss_matches_reference_torch():
+    """ssim_loss == the reference SSIM module (losses.py:365-398)
+    re-derived in torch: 3x3 AvgPool with reflection padding and the
+    [0,1] CLAMP on (1-s)/2. The round-5 recipe run surfaced the bug
+    this pins: a gaussian-window unclamped variant drove cam_ph
+    negative on low-variance synthetic frames."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn as tnn
+
+    from pvo_tpu.vo.losses import ssim_loss
+
+    class RefSSIM(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.p = tnn.AvgPool2d(3, 1)
+            self.r = tnn.ReflectionPad2d(1)
+
+        def forward(self, x, y):
+            x, y = self.r(x), self.r(y)
+            mx, my = self.p(x), self.p(y)
+            sx = self.p(x ** 2) - mx ** 2
+            sy = self.p(y ** 2) - my ** 2
+            sxy = self.p(x * y) - mx * my
+            n = (2 * mx * my + 0.01 ** 2) * (2 * sxy + 0.03 ** 2)
+            d = (mx ** 2 + my ** 2 + 0.01 ** 2) * (sx + sy + 0.03 ** 2)
+            return torch.clamp((1 - n / d) / 2, 0, 1)
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 16, 20, 3).astype(np.float32)
+    y = (x + 0.1 * rng.randn(2, 16, 20, 3)).astype(np.float32)
+    ref = RefSSIM()(torch.tensor(x).permute(0, 3, 1, 2),
+                    torch.tensor(y).permute(0, 3, 1, 2)) \
+        .permute(0, 2, 3, 1).numpy()
+    got = np.asarray(ssim_loss(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    # flat frames must cost exactly 0 (the clamp's job)
+    flat = jnp.full((1, 8, 8, 3), 0.5)
+    assert float(np.abs(np.asarray(ssim_loss(flat, flat))).max()) == 0.0
