@@ -154,9 +154,14 @@ def _avg3_reflect(x):
     """3x3 average pool, stride 1, reflection-padded (the reference
     SSIM module's AvgPool2d(3,1) after ReflectionPad2d(1))."""
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-    s = jax.lax.reduce_window(
-        xp, jnp.zeros((), x.dtype), jax.lax.add,
-        (1, 3, 3, 1), (1, 1, 1, 1), "VALID")
+    H, W = x.shape[1], x.shape[2]
+    # 9 shifted-slice adds: exact f32 (a conv here computes in reduced
+    # precision on TPU) and reverse-mode differentiable (the generic
+    # reduce_window VJP is not)
+    s = 0.0
+    for dy in range(3):
+        for dx in range(3):
+            s = s + xp[:, dy:dy + H, dx:dx + W, :]
     return s * jnp.asarray(1.0 / 9.0, x.dtype)
 
 

@@ -78,10 +78,15 @@ REC_W = 12           # decision-record width
 # compact-regime static widths (= the classic host's steady-state
 # buckets; per-frame compute scales with the PADDED widths, so the
 # update phase lax.cond's between this regime and the full-width
-# fallback based on the true counts — see update_branch)
-EB_S = 32            # active edges
-EI_S = 32            # in-window inactive BA extras (compacted)
-PAIRS_S = 512        # same-source edge pairs
+# fallback based on the true counts — see update_branch). Env-tunable
+# for perf experiments: corr/GRU cost is ~linear in EB_S and the
+# keyframe-everything steady state runs ~20 active edges, so tighter
+# buckets trade fallback frequency for per-frame device time.
+import os as _os
+
+EB_S = int(_os.environ.get("PVO_EB_S", "32"))      # active edges
+EI_S = int(_os.environ.get("PVO_EI_S", "32"))      # inactive extras
+PAIRS_S = int(_os.environ.get("PVO_PAIRS_S", "512"))  # same-src pairs
 FORCE_LARGE = False  # trace-time override (tests: exercise fallback)
 
 # scal[] layout (int32 device state vector)
