@@ -262,18 +262,20 @@ def _kernel(f1_ref, c_ref, r_ref, *refs, shapes, blk):
             out_ref[0, :, base:base + PATCH] = patch[:, dy, :]
 
 
-def _extract_kernel(c_ref, r_ref, *refs, shapes, blk):
-    """Extraction-only variant of :func:`_kernel`: reads PRE-BUILT
-    correlation volume blocks instead of computing the all-pairs
+def _extract_kernel(c_ref, r_ref, vol_ref, out_ref, *, shapes, blk):
+    """Extraction-only variant of :func:`_kernel`: reads the PRE-BUILT
+    stacked correlation volume instead of computing the all-pairs
     matmul. Used by the frontend's volume cache — the volume depends
     only on the feature maps, so the 4+2 update iterations of one
-    keyframe share one build (the matmul was ~1/3 of each lookup)."""
-    n_lvl = len(shapes)
-    vol_refs = refs[:n_lvl]
-    out_ref = refs[n_lvl]
-
+    keyframe share one build (the matmul was ~1/3 of each lookup).
+    The stacked layout makes the block fetch ONE wide DMA (see
+    _build_kernel); the bf16 rows feed the selector matmuls directly
+    (mixed bf16 x f32 dot with f32 accumulation is bit-identical to
+    the old upcast and halves the VMEM block)."""
+    offs, _ = _vol_offsets(shapes)
     coords = c_ref[0].astype(jnp.float32)             # (BLK, 2)
     R = r_ref[...]
+    vol = vol_ref[0]                           # (BLK, H_sum, LANE)
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (blk, LANE), 1)
 
@@ -288,7 +290,7 @@ def _extract_kernel(c_ref, r_ref, *refs, shapes, blk):
         ).reshape(blk, PATCH, LANE)
 
     for l, (H_l, W_l, _n_t, _m_t) in enumerate(shapes):
-        corr3 = vol_refs[l][0].astype(jnp.float32)    # (BLK, H_l, LANE)
+        corr3 = vol[:, offs[l]:offs[l] + H_l, :]  # (BLK, H_l, LANE)
 
         cl = coords * jnp.float32(0.5 ** l)
         x, y = cl[:, 0], cl[:, 1]
@@ -325,12 +327,30 @@ def corr_level_shapes(H, W, num_levels=4):
     return tuple(shapes)
 
 
+def _vol_offsets(shapes):
+    """Static row offsets of each pyramid level inside the STACKED
+    volume buffer (rows dim = sum of level heights)."""
+    offs, acc = [], 0
+    for (H_l, _, _, _) in shapes:
+        offs.append(acc)
+        acc += H_l
+    return tuple(offs), acc
+
+
 def _build_kernel(f1_ref, *refs, shapes, blk):
     """One (edge, query-block) program of the volume builder: the
-    all-pairs half of :func:`_kernel`, stored instead of consumed."""
+    all-pairs half of :func:`_kernel`, stored instead of consumed.
+    All levels land in ONE stacked output (level l at row offset
+    off_l) — separate per-level buffers paid the bf16 (16, 128) HBM
+    tile padding on every level (rows 7 -> 16, 3 -> 16: levels 2/3
+    cost as much as level 1) and one DMA per level per grid step;
+    stacked, the extraction streams the whole pyramid row-block in a
+    single DMA with one shared pad (round-5 corr_exp3: extraction was
+    DMA-bound at ~25% of HBM peak)."""
     n_lvl = len(shapes)
     lvl_refs = refs[:n_lvl]
-    out_refs = refs[n_lvl:]
+    out_ref = refs[n_lvl]
+    offs, _ = _vol_offsets(shapes)
     f1 = f1_ref[0] * jnp.asarray(0.0625, f1_ref.dtype)   # (BLK, C)
     for l, (H_l, W_l, n_t, m_t) in enumerate(shapes):
         f2 = lvl_refs[l][0]                    # (1, H_l, 1, LANE, C)
@@ -339,26 +359,27 @@ def _build_kernel(f1_ref, *refs, shapes, blk):
             f1, f2.reshape(H_l * LANE, C),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)   # (BLK, H_l*LANE)
-        out_refs[l][0] = corr.reshape(
-            blk, H_l, LANE).astype(out_refs[l].dtype)
+        out_ref[0, :, offs[l]:offs[l] + H_l, :] = corr.reshape(
+            blk, H_l, LANE).astype(out_ref.dtype)
 
 
 def pallas_build_volumes(fmap1, fmap2, num_levels=4, blk=256):
     """All-pairs correlation volumes via a Pallas kernel.
 
-    Same contract as :func:`build_corr_volumes` (returns vols only;
-    shapes come from :func:`corr_level_shapes`) but the volumes are
-    BORN in the layout :func:`pallas_corr_extract` wants: the XLA
-    build's dot_general output needed a full-HBM relayout copy per
-    level (~7 ms at the 48-edge tracking shapes) before every chain
-    of extractions, which is why the round-1 volume cache measured
-    perf-neutral. Narrow streams only (n_t == 1 on every level).
+    Returns ONE stacked (E, HWp, sum_l H_l, LANE) bf16 buffer (level
+    l's rows at offset off_l, see _vol_offsets) BORN in the layout
+    :func:`pallas_corr_extract` wants: the XLA build's dot_general
+    output needed a full-HBM relayout copy per level (~7 ms at the
+    48-edge tracking shapes) before every chain of extractions, which
+    is why the round-1 volume cache measured perf-neutral. Narrow
+    streams only (n_t == 1 on every level).
     """
     E, H, W, C = fmap1.shape
     HW = H * W
     HWp = ((HW + blk - 1) // blk) * blk
     nb = HWp // blk
     levels, shapes = build_padded_pyramid(fmap2, num_levels)
+    _, H_sum = _vol_offsets(shapes)
 
     f1 = fmap1.reshape(E, HW, C)
     if HWp != HW:
@@ -373,29 +394,26 @@ def pallas_build_volumes(fmap1, fmap2, num_levels=4, blk=256):
         in_specs.append(pl.BlockSpec(
             (1, 1, H_l, 1, LANE, C), lambda e, b: (e, 0, 0, 0, 0, 0),
             memory_space=pltpu.VMEM))
-    out_shapes = [jax.ShapeDtypeStruct((E, HWp, H_l, LANE), jnp.bfloat16)
-                  for (H_l, _, _, _) in shapes]
-    out_specs = [pl.BlockSpec((1, blk, H_l, LANE),
-                              lambda e, b: (e, b, 0, 0),
-                              memory_space=pltpu.VMEM)
-                 for (H_l, _, _, _) in shapes]
     vols = pl.pallas_call(
         functools.partial(_build_kernel, shapes=tuple(shapes), blk=blk),
-        out_shape=out_shapes,
+        out_shape=jax.ShapeDtypeStruct((E, HWp, H_sum, LANE),
+                                       jnp.bfloat16),
         grid=(E, nb),
         in_specs=in_specs,
-        out_specs=out_specs,
+        out_specs=pl.BlockSpec((1, blk, H_sum, LANE),
+                               lambda e, b: (e, b, 0, 0),
+                               memory_space=pltpu.VMEM),
     )(f1, *levels)
-    return tuple(vols)
+    return vols
 
 
 def build_corr_volumes(fmap1, fmap2, num_levels=4, blk=256):
-    """All-pairs correlation volumes, padded for the extraction kernel.
+    """All-pairs correlation volumes via XLA ops (CPU/test path).
 
-    Returns (vols, shapes): vols[l] is (E, HWp, H_l, LANE) bf16 (the
-    reference's CorrBlock materializes fp16 volumes the same way,
-    corr.py:29-38) with both 0.25 prescales applied; shapes[l] the true
-    (H_l, W_l).
+    Returns (vols, shapes): vols is the STACKED (E, HWp, sum H_l,
+    LANE) bf16 buffer of :func:`pallas_build_volumes` (the reference's
+    CorrBlock materializes fp16 volumes the same way, corr.py:29-38)
+    with both 0.25 prescales applied; shapes[l] the true (H_l, W_l).
     """
     E, H, W, C = fmap1.shape
     HW = H * W
@@ -417,7 +435,7 @@ def build_corr_volumes(fmap1, fmap2, num_levels=4, blk=256):
             f1, f2f, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)       # (E, HWp, H_l*128)
         vols.append(v.astype(jnp.bfloat16).reshape(E, HWp, H_l, LANE))
-    return vols, shapes
+    return jnp.concatenate(vols, axis=2), shapes
 
 
 @functools.partial(jax.jit,
@@ -434,7 +452,15 @@ def pallas_corr_extract(vols, shapes, coords, blk=256,
     E, H, W, _ = coords.shape
     HW = H * W
     num_levels = len(shapes)
-    HWp = vols[0].shape[1]
+    HWp = vols.shape[1]
+    H_sum = vols.shape[2]
+
+    # VMEM admission: the stacked block (blk, H_sum_pad, LANE) bf16
+    # is double-buffered; shrink blk for tall pyramids (blk always
+    # divides HWp: build pads HWp to a 256-multiple)
+    Hp16 = -(-H_sum // 16) * 16
+    while blk > 64 and 2 * blk * Hp16 * LANE * 2 > 10 * 2 ** 20:
+        blk //= 2
     nb = HWp // blk
 
     cfl = coords.reshape(E, HW, 2)
@@ -448,11 +474,9 @@ def pallas_corr_extract(vols, shapes, coords, blk=256,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((LANE, PATCH * LANE), lambda e, b: (0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk, H_sum, LANE), lambda e, b: (e, b, 0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    for (H_l, _, _n_t, _m_t) in shapes:
-        in_specs.append(pl.BlockSpec(
-            (1, blk, H_l, LANE), lambda e, b: (e, b, 0, 0),
-            memory_space=pltpu.VMEM))
 
     out_dtype = jnp.bfloat16 if packed else jnp.float32
     out = pl.pallas_call(
@@ -465,7 +489,7 @@ def pallas_corr_extract(vols, shapes, coords, blk=256,
                                lambda e, b: (e, b, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(cfl, _shift_bank(), *vols)
+    )(cfl, _shift_bank(), vols)
 
     if packed:
         return out[:, :HW].reshape(E, H, W, out_ch)

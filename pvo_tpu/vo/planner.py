@@ -84,8 +84,12 @@ REC_W = 12           # decision-record width
 # buckets trade fallback frequency for per-frame device time.
 import os as _os
 
-EB_S = int(_os.environ.get("PVO_EB_S", "32"))      # active edges
-EI_S = int(_os.environ.get("PVO_EI_S", "32"))      # inactive extras
+# default 24 (round 5): the keyframe-everything steady state runs ~20
+# active edges / ~10 in-window inactive; 24-wide buckets measure
+# 17.0 fps / 57.8 device-ms vs 14.0 / 70.4 at 32-wide (BENCH_r05),
+# with burst frames falling back to the full-width regime unchanged
+EB_S = int(_os.environ.get("PVO_EB_S", "24"))      # active edges
+EI_S = int(_os.environ.get("PVO_EI_S", "24"))      # inactive extras
 PAIRS_S = int(_os.environ.get("PVO_PAIRS_S", "512"))  # same-src pairs
 FORCE_LARGE = False  # trace-time override (tests: exercise fallback)
 

@@ -146,23 +146,28 @@ def main():
     print(f"E={E} {H}x{W}: volume {vol_mb:.1f} MB bf16 "
           f"(HBM floor ~{vol_mb / 819:.2f} ms/extract)")
 
-    base = jax.jit(lambda c: pallas_corr_extract(
-        vols, vshapes, c, packed=True))
-    ms = device_time_ms(lambda: base(coords), top=0)
+    base = jax.jit(lambda v, c: pallas_corr_extract(
+        v, vshapes, c, packed=True))
+    ms = device_time_ms(lambda: base(vols, coords), top=0)
     print(f"current extract:                {ms:.3f} ms")
 
-    ref = np.asarray(base(coords), np.float32)
+    ref = np.asarray(base(vols, coords), np.float32)
     for blk in (128, 256, 512):
         for cast_vol in (True, False):
             for sd in (jnp.float32, jnp.bfloat16):
                 tag = (f"blk={blk:<3} cast={int(cast_vol)} "
                        f"sel={jnp.dtype(sd).name:<8}")
                 try:
-                    fn = jax.jit(lambda c, b=blk, cv=cast_vol, s=sd:
-                                 extract_v(vols, vshapes, c, b, cv, s))
-                    got = np.asarray(fn(coords), np.float32)
+                    fn = jax.jit(lambda v, c, b=blk, cv=cast_vol,
+                                 s=sd: extract_v(v, vshapes, c, b,
+                                                 cv, s))
+                    HW = H * W
+                    got = np.asarray(fn(vols, coords),
+                                     np.float32)[:, :HW]
+                    got = got.reshape(ref.shape)
                     err = float(np.abs(got - ref).max())
-                    ms = device_time_ms(lambda: fn(coords), top=0)
+                    ms = device_time_ms(lambda: fn(vols, coords),
+                                        top=0)
                     print(f"{tag}: {ms:.3f} ms  max|d|={err:.4f}")
                 except Exception as e:  # noqa: BLE001
                     print(f"{tag}: FAIL {type(e).__name__}: "

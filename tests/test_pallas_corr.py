@@ -124,8 +124,10 @@ def test_volume_cache_extract_matches_fused():
     fused = pallas_corr_lookup(f1, f2, coords, num_levels=3, blk=32,
                                interpret=True)
     vols, shapes = build_corr_volumes(f1, f2, num_levels=3, blk=32)
+    assert vols.ndim == 4 and vols.shape[2] == sum(
+        s[0] for s in shapes)          # stacked single buffer
     ext = pallas_corr_extract(
-        tuple(vols), tuple(tuple(s) for s in shapes), coords, blk=32,
+        vols, tuple(tuple(s) for s in shapes), coords, blk=32,
         interpret=True)
     np.testing.assert_allclose(np.asarray(ext), np.asarray(fused),
                                rtol=2e-2, atol=2e-2)
