@@ -50,13 +50,42 @@ def match_anchors(anchors, gt_boxes, gt_valid, pos_thresh=0.7,
     return best_gt, labels
 
 
+def subsample_labels(labels, rng, num_samples=256, pos_fraction=0.5):
+    """detectron2 sampling.py subsample_labels in static-shape JAX:
+    pick min(#pos, num*frac) random positives and fill the remainder
+    with random negatives. Returns (sel_pos, sel_neg) boolean masks.
+
+    Selection-by-rank: every anchor draws a uniform priority; an
+    anchor is selected iff its rank among its class (by priority) is
+    below the (traced) class quota — two argsorts give the ranks with
+    static shapes."""
+    r = jax.random.uniform(rng, labels.shape)
+    pos = labels == 1
+    neg = labels == 0
+    n_pos = jnp.minimum(jnp.sum(pos), int(num_samples * pos_fraction))
+    n_neg = jnp.minimum(jnp.sum(neg), num_samples - n_pos)
+    pos_rank = jnp.argsort(jnp.argsort(jnp.where(pos, r, jnp.inf)))
+    neg_rank = jnp.argsort(jnp.argsort(jnp.where(neg, r, jnp.inf)))
+    return pos & (pos_rank < n_pos), neg & (neg_rank < n_neg)
+
+
 def rpn_loss(anchors, obj_logits, deltas, gt_boxes, gt_valid,
-             norm_count=256.0):
+             rng=None, norm_count=256.0):
     """anchors (A,4), obj_logits (A,), deltas (A,4);
-    gt_boxes (G,4) padded with gt_valid mask."""
+    gt_boxes (G,4) padded with gt_valid mask.
+
+    detectron2 semantics (rpn.py losses + _subsample_labels): BOTH
+    terms run on a 256-anchor random subsample (<=50% positive),
+    normalized by 256 — summing objectness over ALL anchors is only
+    numerically similar at toy geometries; at 384x1248 (~270k
+    anchors) it reaches ~4e6 and the first SGD step NaNs the params
+    (found by scripts/bench_vps_train.py round 5)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     matched, labels = match_anchors(anchors, gt_boxes, gt_valid)
-    pos = (labels == 1).astype(jnp.float32)
-    neg = (labels == 0).astype(jnp.float32)
+    sel_pos, sel_neg = subsample_labels(labels, rng)
+    pos = sel_pos.astype(jnp.float32)
+    neg = sel_neg.astype(jnp.float32)
 
     tgt = ops.encode_boxes(anchors, gt_boxes[matched])
     # where (not multiply): degenerate matches give inf targets and

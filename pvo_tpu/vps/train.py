@@ -62,7 +62,8 @@ def make_fusion_optimizer(params, lr=2.5e-4):
 
 def panoptic_losses(model: PanopticFPN, params, image_bgr, feats_warp,
                     gt_boxes, gt_classes, gt_valid, sem_labels,
-                    gt_masks=None, max_props=256, pre_nms_topk=1000):
+                    gt_masks=None, max_props=256, pre_nms_topk=1000,
+                    rng=None):
     """Full loss stack for one image: RPN objectness + box regression,
     Fast R-CNN classification + class-specific box regression, mask BCE
     on foreground proposals, and semseg CE — the detectron2 loss set
@@ -98,7 +99,7 @@ def panoptic_losses(model: PanopticFPN, params, image_bgr, feats_warp,
     anchors = jnp.concatenate(anchors, 0)
     obj_l, loc_l = L.rpn_loss(anchors, jnp.concatenate(lg, 0),
                               jnp.concatenate(rg, 0), gt_boxes,
-                              gt_valid)
+                              gt_valid, rng=rng)
 
     # --- ROI losses on proposals ---
     lg0 = {k: v[0] for k, v in obj_logits.items()}
@@ -156,6 +157,8 @@ def make_fusion_train_step(model: PanopticFPN, tx, **loss_kw):
     """
 
     def step(state: TrainState, batch):
+        rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+
         def loss_fn(p):
             feats_ref = model.apply(p, batch["ref_image"],
                                     method="features")
@@ -164,7 +167,7 @@ def make_fusion_train_step(model: PanopticFPN, tx, **loss_kw):
                 model, p, batch["cur_image"], warped,
                 batch["gt_boxes"], batch["gt_classes"],
                 batch["gt_valid"], batch["sem_labels"],
-                gt_masks=batch.get("gt_masks"), **loss_kw)
+                gt_masks=batch.get("gt_masks"), rng=rng, **loss_kw)
 
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -237,12 +240,16 @@ def make_full_train_step(model: PanopticFPN, tx, **loss_kw):
     """
 
     def step(state: TrainState, batch):
+        # per-step RPN anchor-subsample randomness (detectron2 draws
+        # a fresh 256-anchor sample every iteration)
+        rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+
         def loss_fn(p):
             return panoptic_losses(
                 model, p, batch["image"], None,
                 batch["gt_boxes"], batch["gt_classes"],
                 batch["gt_valid"], batch["sem_labels"],
-                gt_masks=batch.get("gt_masks"), **loss_kw)
+                gt_masks=batch.get("gt_masks"), rng=rng, **loss_kw)
 
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -264,13 +271,16 @@ def make_full_train_step_dp(model: PanopticFPN, tx, mesh, **loss_kw):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def step(state: TrainState, batch):
+        rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+
         def loss_fn(p):
             def one(sample):
                 return panoptic_losses(
                     model, p, sample["image"], None,
                     sample["gt_boxes"], sample["gt_classes"],
                     sample["gt_valid"], sample["sem_labels"],
-                    gt_masks=sample.get("gt_masks"), **loss_kw)
+                    gt_masks=sample.get("gt_masks"), rng=rng,
+                    **loss_kw)
             loss, metrics = jax.vmap(one)(batch)
             return jnp.mean(loss), jax.tree.map(jnp.mean, metrics)
 

@@ -195,3 +195,29 @@ def test_full_train_step_dp_8dev():
     state, metrics = step(state, batch)
     jax.block_until_ready(state.params)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_rpn_subsample_labels_matches_reference_semantics():
+    """detectron2 sampling.py subsample_labels in static-shape JAX
+    (round 5): <=128 random positives, negatives fill to 256, ignores
+    never selected. Without the subsample, the RPN objectness sum over
+    ~270k anchors at 384x1248 reaches ~4e6 and the first SGD step
+    NaNs the params (scripts/bench_vps_train.py finding)."""
+    import jax
+
+    from pvo_tpu.vps.losses import subsample_labels
+
+    rng = jax.random.PRNGKey(0)
+    labels = jnp.asarray(np.r_[np.ones(10), np.zeros(5000),
+                               -np.ones(100)].astype(np.int32))
+    sp, sn = subsample_labels(labels, rng)
+    assert int(sp.sum()) == 10 and int(sn.sum()) == 246
+
+    labels2 = jnp.asarray(np.r_[np.ones(500),
+                                np.zeros(5000)].astype(np.int32))
+    sp, sn = subsample_labels(labels2, rng)
+    assert int(sp.sum()) == 128 and int(sn.sum()) == 128
+    assert not bool((sp & sn).any())
+
+    sp, sn = subsample_labels(jnp.asarray(-np.ones(50, np.int32)), rng)
+    assert int(sp.sum()) == 0 and int(sn.sum()) == 0
