@@ -79,7 +79,12 @@ def test_pvo_loop_on_synth_scene(tmp_path):
     rep = json.loads(vpq.read_text())
     assert {"vpq_all", "vpq_thing", "vpq_stuff"} <= set(rep)
 
-    # feedback: fused segmentation copied into panFPN_segm
-    fed = glob.glob(osp.join(data, "Scene02", "clone", "panFPN_segm",
-                             "*.png"))
-    assert len(fed) >= 14  # initial (14) + fused overwrites
+    # feedback: fused segmentation copied into panFPN_segm. Tiny mode
+    # runs initial segmentation on 15-deg-left only (the view VO's
+    # segment filter consumes; run_pvo_loop.py views gating, round 3),
+    # so the clone view's panFPN_segm holds exactly the FUSED val-slice
+    # frames the feedback copied in.
+    fed = sorted(glob.glob(osp.join(data, "Scene02", "clone",
+                                    "panFPN_segm", "*.png")))
+    assert [osp.basename(f) for f in fed] == \
+        ["rgb_00010.png", "rgb_00011.png"], fed
