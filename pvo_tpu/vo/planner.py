@@ -90,7 +90,9 @@ import os as _os
 # with burst frames falling back to the full-width regime unchanged
 EB_S = int(_os.environ.get("PVO_EB_S", "24"))      # active edges
 EI_S = int(_os.environ.get("PVO_EI_S", "24"))      # inactive extras
-PAIRS_S = int(_os.environ.get("PVO_PAIRS_S", "512"))  # same-src pairs
+# 256 (round 5): steady-state same-source pairs measure ~130; the
+# halved bucket takes 17.0 -> 17.2 fps with ample headroom
+PAIRS_S = int(_os.environ.get("PVO_PAIRS_S", "256"))  # same-src pairs
 FORCE_LARGE = False  # trace-time override (tests: exercise fallback)
 
 # scal[] layout (int32 device state vector)
