@@ -220,6 +220,20 @@ def bilinear_sample(img, coords, pad_mode="zeros"):
             w10 * gather(y0 + 1, x0) + w11 * gather(y0 + 1, x0 + 1))
 
 
+def mean_on_mask(diff, val_pix, min_count=10000):
+    """Valid-count-normalized mean — EXACT reference semantics
+    (losses.py:400-408): the photometric terms divide by the number of
+    VALID (mask-expanded) entries, not the tensor size, and collapse
+    to 0 when nearly everything is masked (the reference's
+    'most pixels are masked' guard at 10000 entries). A total-size
+    mean silently down-weights heavily-masked frames by the valid
+    fraction."""
+    mask = jnp.broadcast_to(val_pix, diff.shape)
+    s = jnp.sum(mask)
+    mean = jnp.sum(diff * mask) / jnp.maximum(s, 1.0)
+    return jnp.where(s > min_count, mean, jnp.zeros_like(mean))
+
+
 def _reprojection_error(img0, warped, use_ssim):
     """0.85 SSIM + 0.15 L1 when use_ssim, else L1 (reference
     compute_reprojection_loss)."""
@@ -264,7 +278,7 @@ def photo_loss_full(images, full_flows, vals, ii, jj, gamma=GAMMA,
             b = (aff_params[i][..., 1] - 0.5).reshape(-1, 1, 1, 1)
             warped = warped * a + b
         diff = _reprojection_error(img0, warped, use_ssim)
-        p_e = jnp.mean(diff * val_pix[..., None])
+        p_e = mean_on_mask(diff, val_pix[..., None])
         total += w * p_e
     return total, {"ph_error": p_e}
 
@@ -302,7 +316,7 @@ def photo_loss_cam(images, poses_list, disps_list, intrinsics,
                    val0.reshape(-1, H, W) * m_all)
         warped = bilinear_sample(img1, coords, pad_mode="border")
         diff = _reprojection_error(img0, warped, use_ssim)
-        p_e = jnp.mean(diff * val_pix[..., None])
+        p_e = mean_on_mask(diff, val_pix[..., None])
         total += w * p_e
     return total, {"ph_cam_error": p_e}
 
@@ -381,8 +395,9 @@ def photo_loss(images_pairs, full_flows, use_ssim=True, gamma=GAMMA,
                 I_src.reshape(B * N, H, W, C)).reshape(I_src.shape)
             err = 0.85 * s_l + 0.15 * err
         if occ_masks is not None:
-            err = err * occ_masks[..., None]
-        total += w * jnp.mean(err)
+            total += w * mean_on_mask(err, occ_masks[..., None])
+        else:
+            total += w * mean_on_mask(err, jnp.ones_like(err[..., :1]))
     return total, {"photo": total}
 
 
