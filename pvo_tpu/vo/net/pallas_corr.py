@@ -337,6 +337,15 @@ def _vol_offsets(shapes):
     return tuple(offs), acc
 
 
+def _vol_rows(shapes):
+    """Stacked-volume row count, padded to the bf16 (16, 128) HBM
+    tile: the manually-pipelined extraction DMAs whole row-blocks and
+    Mosaic's emit_pipeline rejects non-16-aligned second-minor block
+    dims (opaque tpu_compile_helper failure, diagnosed round 5)."""
+    _, H_sum = _vol_offsets(shapes)
+    return -(-H_sum // 16) * 16
+
+
 def _build_kernel(f1_ref, *refs, shapes, blk):
     """One (edge, query-block) program of the volume builder: the
     all-pairs half of :func:`_kernel`, stored instead of consumed.
@@ -350,7 +359,7 @@ def _build_kernel(f1_ref, *refs, shapes, blk):
     n_lvl = len(shapes)
     lvl_refs = refs[:n_lvl]
     out_ref = refs[n_lvl]
-    offs, _ = _vol_offsets(shapes)
+    offs, H_sum = _vol_offsets(shapes)
     f1 = f1_ref[0] * jnp.asarray(0.0625, f1_ref.dtype)   # (BLK, C)
     for l, (H_l, W_l, n_t, m_t) in enumerate(shapes):
         f2 = lvl_refs[l][0]                    # (1, H_l, 1, LANE, C)
@@ -361,6 +370,12 @@ def _build_kernel(f1_ref, *refs, shapes, blk):
             preferred_element_type=jnp.float32)   # (BLK, H_l*LANE)
         out_ref[0, :, offs[l]:offs[l] + H_l, :] = corr.reshape(
             blk, H_l, LANE).astype(out_ref.dtype)
+    H_pad = out_ref.shape[2]
+    if H_pad > H_sum:
+        # zero the alignment pad rows (never read; zeroed so the XLA
+        # build path is bit-identical)
+        out_ref[0, :, H_sum:H_pad, :] = jnp.zeros(
+            (blk, H_pad - H_sum, LANE), out_ref.dtype)
 
 
 def pallas_build_volumes(fmap1, fmap2, num_levels=4, blk=256):
@@ -379,7 +394,7 @@ def pallas_build_volumes(fmap1, fmap2, num_levels=4, blk=256):
     HWp = ((HW + blk - 1) // blk) * blk
     nb = HWp // blk
     levels, shapes = build_padded_pyramid(fmap2, num_levels)
-    _, H_sum = _vol_offsets(shapes)
+    H_pad = _vol_rows(shapes)
 
     f1 = fmap1.reshape(E, HW, C)
     if HWp != HW:
@@ -396,11 +411,11 @@ def pallas_build_volumes(fmap1, fmap2, num_levels=4, blk=256):
             memory_space=pltpu.VMEM))
     vols = pl.pallas_call(
         functools.partial(_build_kernel, shapes=tuple(shapes), blk=blk),
-        out_shape=jax.ShapeDtypeStruct((E, HWp, H_sum, LANE),
+        out_shape=jax.ShapeDtypeStruct((E, HWp, H_pad, LANE),
                                        jnp.bfloat16),
         grid=(E, nb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, blk, H_sum, LANE),
+        out_specs=pl.BlockSpec((1, blk, H_pad, LANE),
                                lambda e, b: (e, b, 0, 0),
                                memory_space=pltpu.VMEM),
     )(f1, *levels)
@@ -435,6 +450,11 @@ def build_corr_volumes(fmap1, fmap2, num_levels=4, blk=256):
             f1, f2f, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)       # (E, HWp, H_l*128)
         vols.append(v.astype(jnp.bfloat16).reshape(E, HWp, H_l, LANE))
+    _, H_sum = _vol_offsets(shapes)
+    H_pad = _vol_rows(shapes)
+    if H_pad > H_sum:
+        vols.append(jnp.zeros((E, HWp, H_pad - H_sum, LANE),
+                              jnp.bfloat16))
     return jnp.concatenate(vols, axis=2), shapes
 
 
@@ -453,13 +473,14 @@ def pallas_corr_extract(vols, shapes, coords, blk=256,
     HW = H * W
     num_levels = len(shapes)
     HWp = vols.shape[1]
-    H_sum = vols.shape[2]
+    H_pad = vols.shape[2]
 
-    # VMEM admission: the stacked block (blk, H_sum_pad, LANE) bf16
-    # is double-buffered; shrink blk for tall pyramids (blk always
-    # divides HWp: build pads HWp to a 256-multiple)
-    Hp16 = -(-H_sum // 16) * 16
-    while blk > 64 and 2 * blk * Hp16 * LANE * 2 > 10 * 2 ** 20:
+    # VMEM admission: the stacked block (blk, H_pad, LANE) bf16 is
+    # double-buffered; shrink blk for tall pyramids (blk always
+    # divides HWp: build pads HWp to a 256-multiple). 128 measured
+    # fastest at tracking shapes (scripts/corr_exp5.py).
+    blk = min(blk, 128)
+    while blk > 64 and 2 * blk * H_pad * LANE * 2 > 10 * 2 ** 20:
         blk //= 2
     nb = HWp // blk
 
@@ -467,29 +488,72 @@ def pallas_corr_extract(vols, shapes, coords, blk=256,
     if HWp != HW:
         cfl = jnp.concatenate(
             [cfl, jnp.zeros((E, HWp - HW, 2), cfl.dtype)], axis=1)
+    # lane-pad: 2-lane blocks trip Mosaic inside emit_pipeline
+    cfl = jnp.pad(cfl, ((0, 0), (0, 0), (0, LANE - 2)))
 
     out_ch = num_levels * TAPS
-    in_specs = [
-        pl.BlockSpec((1, blk, 2), lambda e, b: (e, b, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((LANE, PATCH * LANE), lambda e, b: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, blk, H_sum, LANE), lambda e, b: (e, b, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-
     out_dtype = jnp.bfloat16 if packed else jnp.float32
-    out = pl.pallas_call(
-        functools.partial(_extract_kernel, shapes=tuple(shapes),
-                          blk=blk),
-        out_shape=jax.ShapeDtypeStruct((E, HWp, out_ch), out_dtype),
-        grid=(E, nb),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, blk, out_ch),
-                               lambda e, b: (e, b, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(cfl, _shift_bank(), vols)
+
+    if interpret:
+        # CPU/test path: plain auto-pipelined grid (emit_pipeline has
+        # no interpret support)
+        out = pl.pallas_call(
+            functools.partial(_extract_kernel, shapes=tuple(shapes),
+                              blk=blk),
+            out_shape=jax.ShapeDtypeStruct((E, HWp, out_ch),
+                                           out_dtype),
+            grid=(E, nb),
+            in_specs=[
+                pl.BlockSpec((1, blk, LANE), lambda e, b: (e, b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((LANE, PATCH * LANE),
+                             lambda e, b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk, H_pad, LANE),
+                             lambda e, b: (e, b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, blk, out_ch),
+                                   lambda e, b: (e, b, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=True,
+        )(cfl, _shift_bank(), vols)
+    else:
+        # TPU path: manual inner pipeline — the next block's volume
+        # DMA overlaps this block's selector/extract compute, and the
+        # ANY-space operands skip the XLA boundary relayout a VMEM
+        # operand of this size pays (round-5 corr_exp5: 3.2 ms vs
+        # 4.3 + copy at the 24-edge tracking shapes)
+        def _outer(c_hbm, r_ref, vol_hbm, out_hbm):
+            pipe = pltpu.emit_pipeline(
+                lambda c_ref, vol_ref, out_ref: _extract_kernel(
+                    c_ref, r_ref, vol_ref, out_ref,
+                    shapes=tuple(shapes), blk=blk),
+                grid=(E, nb),
+                in_specs=[
+                    pl.BlockSpec((1, blk, LANE),
+                                 lambda e, b: (e, b, 0)),
+                    pl.BlockSpec((1, blk, H_pad, LANE),
+                                 lambda e, b: (e, b, 0, 0)),
+                ],
+                out_specs=[pl.BlockSpec((1, blk, out_ch),
+                                        lambda e, b: (e, b, 0))],
+            )
+            pipe(c_hbm, vol_hbm, out_hbm)
+
+        out = pl.pallas_call(
+            _outer,
+            out_shape=jax.ShapeDtypeStruct((E, HWp, out_ch),
+                                           out_dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((LANE, PATCH * LANE),
+                             lambda: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        )(cfl, _shift_bank(), vols)
 
     if packed:
         return out[:, :HW].reshape(E, H, W, out_ch)

@@ -81,10 +81,14 @@ def _outer_kernel(c_hbm, r_ref, vol_hbm, out_hbm, *, shapes, blk,
     n_lvl = len(shapes)
     H_sum = vol_hbm.shape[2]
     out_ch = n_lvl * TAPS
-    R = r_ref[...]
 
     def body(c_ref, vol_ref, out_ref):
-        coords = c_ref[0].astype(jnp.float32)
+        # bank read INSIDE the pipeline body: values captured across
+        # the emit_pipeline closure are another Mosaic-500 suspect
+        R = r_ref[...]
+        # coords padded to LANE lanes (a 2-lane block spec trips the
+        # Mosaic compiler inside emit_pipeline)
+        coords = c_ref[0][:, :2].astype(jnp.float32)
         patches = _block_compute(coords, R, vol_ref[0], shapes, blk)
         for l, patch in enumerate(patches):
             p8 = patch.astype(out_ref.dtype)
@@ -95,7 +99,7 @@ def _outer_kernel(c_hbm, r_ref, vol_hbm, out_hbm, *, shapes, blk,
     pipe = pltpu.emit_pipeline(
         body, grid=(E, nb),
         in_specs=[
-            pl.BlockSpec((1, blk, 2), lambda e, b: (e, b, 0)),
+            pl.BlockSpec((1, blk, LANE), lambda e, b: (e, b, 0)),
             pl.BlockSpec((1, blk, H_sum, LANE),
                          lambda e, b: (e, b, 0, 0)),
         ],
@@ -116,6 +120,7 @@ def extract_v3(vols, shapes, coords, blk=256):
     if HWp != HW:
         cfl = jnp.concatenate(
             [cfl, jnp.zeros((E, HWp - HW, 2), cfl.dtype)], axis=1)
+    cfl = jnp.pad(cfl, ((0, 0), (0, 0), (0, LANE - 2)))
     out_ch = n_lvl * TAPS
     return pl.pallas_call(
         functools.partial(_outer_kernel, shapes=tuple(shapes),
@@ -143,6 +148,12 @@ def main():
     vshapes = corr_level_shapes(H, W)
     vols = jax.jit(pallas_build_volumes)(f1, f2)
     jax.block_until_ready(vols)
+    # emit_pipeline requires 16-aligned second-minor block dims
+    # (H=55 trips the opaque Mosaic 500; H=64 compiles): pad rows
+    Hp = -(-vols.shape[2] // 16) * 16
+    vols_p = jnp.pad(vols, ((0, 0), (0, 0),
+                            (0, Hp - vols.shape[2]), (0, 0)))
+    jax.block_until_ready(vols_p)
 
     base = jax.jit(lambda v, c: pallas_corr_extract(
         v, vshapes, c, packed=True))
@@ -155,10 +166,10 @@ def main():
         try:
             fn = jax.jit(lambda v, c, b=blk: extract_v3(v, vshapes,
                                                         c, b))
-            got = np.asarray(fn(vols, coords), np.float32)[:, :HW]
+            got = np.asarray(fn(vols_p, coords), np.float32)[:, :HW]
             got = got.reshape(ref.shape)
             err = float(np.abs(got - ref).max())
-            ms = device_time_ms(lambda: fn(vols, coords))
+            ms = device_time_ms(lambda: fn(vols_p, coords))
             print(f"extract v3 blk={blk}: {ms:.3f} ms  "
                   f"max|d|={err:.5f}")
         except Exception as e:  # noqa: BLE001

@@ -124,8 +124,9 @@ def test_volume_cache_extract_matches_fused():
     fused = pallas_corr_lookup(f1, f2, coords, num_levels=3, blk=32,
                                interpret=True)
     vols, shapes = build_corr_volumes(f1, f2, num_levels=3, blk=32)
-    assert vols.ndim == 4 and vols.shape[2] == sum(
-        s[0] for s in shapes)          # stacked single buffer
+    # stacked single buffer, rows 16-aligned for the pipelined DMA
+    assert vols.ndim == 4
+    assert vols.shape[2] == -(-sum(s[0] for s in shapes) // 16) * 16
     ext = pallas_corr_extract(
         vols, tuple(tuple(s) for s in shapes), coords, blk=32,
         interpret=True)
