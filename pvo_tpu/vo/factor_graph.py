@@ -502,7 +502,7 @@ def _fused_body(params, poses, disps, intrinsics, fmaps, nets_buf,
             (net, target, weight, raw, dy, flow, eta,
              has_edge) = _update_core(
                 params, poses, disps, intrinsics, fmaps, inps, segms,
-                net_full[:EB].astype(jnp.float32), target_full[:EB],
+                net_full[:EB], target_full[:EB],
                 raw_full[:EB], dy_full[:EB], ii_r, jj_r, valid_r, w0,
                 seg_thresh, update_apply, agg_apply, K, S_MAX,
                 segm_filter, corr_chunk, corr_vols=corr_vols,

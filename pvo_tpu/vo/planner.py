@@ -656,7 +656,7 @@ def _planner_body(params, mf_params,
                     (net, target, weight, raw, dy, flow, eta,
                      has_edge) = fg._update_core(
                         params, poses, disps, intrinsics, fmaps, inps,
-                        segms, net_full[:EBC].astype(jnp.float32),
+                        segms, net_full[:EBC],
                         target_full[:EBC], raw_full[:EBC],
                         dy_full[:EBC], ii_e, jj_e, valid_e, w0,
                         seg_thresh, update_apply, agg_apply, K, S_MAX,

@@ -133,7 +133,11 @@ class VOSystem:
             # tried and the combinatorial shape variants caused
             # mid-sequence recompiles that cost far more than the
             # padding they saved
-            edge_buckets=tuple(sorted({32, 48, self.cfg.max_edges})))
+            edge_buckets=tuple(sorted({32, 48, self.cfg.max_edges})),
+            # bf16 hidden-state storage matches the reference's fp16
+            # video.nets buffers (depth_video.py:44) and removes the
+            # f32<->bf16 convert+update-slice pair (~1.5 ms/frame)
+            net_dtype=jnp.bfloat16)
         self.frontend = Frontend(graph, self.video, self.cfg)
         self.backend = Backend(self.video, self.cfg,
                                self.modules["update"],
