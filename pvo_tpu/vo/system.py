@@ -28,6 +28,12 @@ from pvo_tpu.vo.trajectory_filler import TrajectoryFiller
 from pvo_tpu.vo.video import DepthVideo
 
 
+# storage dtype of the per-edge GRU hidden state (the reference holds
+# video.nets in fp16, depth_video.py:44); parity tests pin f32 to keep
+# the classic-vs-planner comparison tight under random weights
+NET_STORE_DTYPE = jnp.bfloat16
+
+
 @functools.lru_cache(maxsize=2)
 def make_modules(use_aff_bri=False):
     """Process-wide singleton module set.
@@ -136,8 +142,10 @@ class VOSystem:
             edge_buckets=tuple(sorted({32, 48, self.cfg.max_edges})),
             # bf16 hidden-state storage matches the reference's fp16
             # video.nets buffers (depth_video.py:44) and removes the
-            # f32<->bf16 convert+update-slice pair (~1.5 ms/frame)
-            net_dtype=jnp.bfloat16)
+            # f32<->bf16 convert+update-slice pair (~1.5 ms/frame);
+            # NET_STORE_DTYPE is a module knob so numerics-sensitive
+            # parity tests can pin f32
+            net_dtype=NET_STORE_DTYPE)
         self.frontend = Frontend(graph, self.video, self.cfg)
         self.backend = Backend(self.video, self.cfg,
                                self.modules["update"],

@@ -448,8 +448,19 @@ def test_planner_matches_classic_real_update_core():
     (docs/PERF.md round 4)."""
     N, H, W = 18, 64, 96
 
-    classic = _run_mode(False, N, H, W, kf_thresh=2.0)
-    plan = _run_mode(True, N, H, W, kf_thresh=2.0)
+    # pin f32 hidden-state STORAGE for this comparison: the production
+    # bf16 store (round 5, reference-fp16 analog) amplifies the
+    # random-weight chaos to several admission flips between the two
+    # program structures; with f32 state the divergence is the single
+    # threshold-adjacent flip asserted below
+    import pvo_tpu.vo.system as sysmod
+    old_dtype = sysmod.NET_STORE_DTYPE
+    sysmod.NET_STORE_DTYPE = jnp.float32
+    try:
+        classic = _run_mode(False, N, H, W, kf_thresh=2.0)
+        plan = _run_mode(True, N, H, W, kf_thresh=2.0)
+    finally:
+        sysmod.NET_STORE_DTYPE = old_dtype
 
     # admissions: at most ONE threshold-adjacent flip. Round 4
     # measured exact equality; the round-5 24-wide compact regime

@@ -14,6 +14,22 @@ from pvo_tpu.utils.config import VOConfig
 from pvo_tpu.vo.system import VOSystem
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_cache_writes():
+    """Serializing this module's large system executables into the
+    persistent compilation cache SEGFAULTS when dozens of programs
+    were already compiled in-process (jaxlib put_executable_and_time,
+    observed twice in full slow-lane runs round 5, never standalone).
+    Suppress cache WRITES here; reads stay enabled."""
+    import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      1.0)
+
+
 def synth_stream(n=30, H=64, W=96, seed=0):
     """Moving textured pattern (enough structure for corr to latch)."""
     rng = np.random.RandomState(seed)
